@@ -1,0 +1,73 @@
+"""Table catalog over the warehouse parquet layers.
+
+The reference discovers schemas dynamically from Oracle's ``all_tab_columns``
+and Hive ``limit 0`` probes (/root/reference/fact_dim_merging.sh:283-287,
+/root/reference/Kafka_ArrivalToConform.sh:473-477); here the catalog is
+``spark.read.parquet`` + ``df.schema`` — schema-on-read with explicit
+StructTypes available from the parquet footers.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# Columns stored as parquet TIMESTAMP(NANOS): Spark reads them as long via
+# spark.sql.legacy.parquet.nanosAsLong (session.py); we convert to
+# TimestampType with integer division (ns -> us) — `div`, not `/`, because
+# epoch-nanos exceed double's 53-bit mantissa.
+_NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def _fix_nano_ts(df: DataFrame, name: str) -> DataFrame:
+    from pyspark.sql import functions as F, types as T
+
+    for col in _NANO_TS_COLUMNS.get(name, ()):
+        if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one warehouse table. Parquet scan => Catalyst gets predicate
+    pushdown + column pruning for free; never cache here (tables are the
+    100 TB side at scale)."""
+    return _fix_nano_ts(spark.read.parquet(table_path(sf_dir, name)), name)
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, register_views: bool = True
+) -> dict[str, DataFrame]:
+    """Load every warehouse table, optionally registering temp views so the
+    SQL surface (spark.sql) sees the same names the DuckDB oracle does."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        path = table_path(sf_dir, name)
+        if not os.path.exists(path):
+            continue
+        df = _fix_nano_ts(spark.read.parquet(path), name)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

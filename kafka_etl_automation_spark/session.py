@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for the engine.
+
+Local-mode testing uses local[$SPARK_GRAFT_CPUS]; the configs below are the
+ones that transfer to a real multi-executor cluster (AQE, skew-join handling,
+Arrow for the Pandas-UDF slow path). On a 1000-executor / 100 TB deployment
+only the master URL and memory sizing change — the plan-shaping configs stay.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "kafka-etl-automation-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    Defaults follow the driver contract: ``local[$SPARK_GRAFT_CPUS]`` (32),
+    shuffle partitions sized to the core count — at 100 TB you would size
+    shuffle partitions to keep post-shuffle partitions ~128-256 MB and let
+    AQE coalesce, which is exactly what these settings do at any scale.
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(cpus, 32)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # testdata's events.ts is parquet TIMESTAMP(NANOS), which Spark's
+        # vectorized reader rejects; read as long and let the catalog
+        # convert (see catalog._NANO_TS_COLUMNS).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

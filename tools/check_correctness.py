@@ -1,0 +1,96 @@
+"""Local differential checker mimicking the driver's t2 correctness gate.
+
+Runs every __spark_entry__.queries() entry at a given SF and compares with
+the DuckDB oracle: row count, column names, and an order-insensitive value
+hash (columns sorted by name, rows sorted by stringified tuple). Strict
+string equality on cell values — stricter than any plausible driver hash,
+so passing here is a good predictor of passing the driver gate.
+
+Usage: python tools/check_correctness.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+
+def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
+    cols = sorted(df.columns)
+    df = df[cols].copy()
+
+    def cell(v):
+        if v is None or v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
+            return "<NULL>"
+        if isinstance(v, float):
+            return repr(v)
+        if isinstance(v, pd.Timestamp):
+            return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+        return str(v)
+
+    rows = sorted(tuple(cell(v) for v in row) for row in df.itertuples(index=False))
+    h = hashlib.sha256("\n".join("|".join(r) for r in rows).encode()).hexdigest()[:16]
+    return len(rows), cols, h
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+    from kafka_etl_automation_spark.session import get_spark
+
+    spark = get_spark("check-correctness")
+    con = duckdb.connect()
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    failures, no_oracle = [], []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, sf_dir).toPandas()
+        if name not in oracles:
+            no_oracle.append(name)
+            print(f"  {name:28s} rows={len(sdf):>7} (rows-only, no oracle) "
+                  f"[{time.time()-t0:.1f}s]")
+            continue
+        ddf = con.execute(oracles[name]).df()
+        sn, sc, sh = canon(sdf)
+        dn, dc, dh = canon(ddf)
+        ok = (sn, sc, sh) == (dn, dc, dh)
+        status = "OK " if ok else "FAIL"
+        print(f"  {name:28s} {status} rows={sn}/{dn} hash={sh}/{dh} "
+              f"[{time.time()-t0:.1f}s]")
+        if not ok:
+            failures.append(name)
+            if sc != dc:
+                print(f"    cols spark={sc}\n    cols duck ={dc}")
+            elif sn == dn:
+                m = sdf[sorted(sdf.columns)].copy()
+                d = ddf[sorted(ddf.columns)].copy()
+                print(f"    dtypes spark={list(m.dtypes)}\n    dtypes duck ={list(d.dtypes)}")
+                print("    spark head:", m.head(3).to_dict("records"))
+                print("    duck  head:", d.head(3).to_dict("records"))
+    print(f"\n{len(qs) - len(failures) - len(no_oracle)} ok, "
+          f"{len(failures)} failed, {len(no_oracle)} rows-only")
+    if failures:
+        print("FAILED:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
