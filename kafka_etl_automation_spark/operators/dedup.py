@@ -1,0 +1,298 @@
+"""Deduplication operators for large-scale text corpora.
+
+Four strategies, all shared-nothing / shuffle-keyed (no driver collects, no
+unbanded cross joins), so they scale to 100 TB by adding executors:
+
+- exact_dedup:      hash-groupBy on a content fingerprint. One shuffle.
+- ngram_jaccard:    exact all-pairs n-gram Jaccard via an inverted-index
+                    self-join. Correct but O(sum of posting-list^2) — the
+                    small-corpus baseline and the verifier for MinHash.
+- minhash_lsh:      MinHash signatures + banded LSH. The 100 TB path:
+                    candidate generation is linear in corpus size, pairs
+                    only materialize inside buckets.
+- simhash:          64-bit SimHash + chunk-banded Hamming candidates.
+
+Everything is pure Catalyst expressions (xxhash64, explode, groupBy) — no
+Python in the hot path. Determinism: all hash seeds are literals, so
+signatures are reproducible across runs/partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Lowercase + whitespace-collapse + trim — the canonical form every
+    dedup strategy fingerprints."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def tokens(col: Column | str) -> Column:
+    return F.split(normalized_text(col), " ")
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string>.
+
+    1-indexed element_at matches ANSI array semantics so an external SQL
+    oracle can reproduce the exact shingle set.
+    """
+    t = tokens(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, (i + j).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by md5 of normalized content.
+
+    Output: (fingerprint, canonical_id = min id, n_copies). Keep the row
+    whose id == canonical_id to dedup. Single hash-shuffle; at 100 TB the
+    fingerprint is computed scan-side so only (fp, id) shuffles, not text.
+    """
+    return (
+        df.select(F.md5(normalized_text(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("sh")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs above threshold.
+
+    Inverted-index self-join: explode distinct shingles, join docs sharing a
+    shingle (id_a < id_b to halve the space), count intersections, compute
+    |A∩B| / (|A|+|B|-|A∩B|). Integer-ratio division keeps the score
+    bit-identical across engines.
+
+    Scale: posting lists for very common shingles explode quadratically —
+    at 100 TB use minhash_lsh_pairs and keep this as the verifier on
+    candidate pairs only.
+    """
+    ex = _exploded_shingles(df, text_col, id_col, n)
+    sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
+
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signature per document: sig_j = min over shingles of
+    xxhash64(j, shingle). Seeded literals -> reproducible. One explode +
+    one groupBy; the k mins aggregate map-side, so the shuffle carries one
+    row per document."""
+    ex = _exploded_shingles(df, text_col, id_col, n)
+    return ex.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(j), F.col("sh"))).alias(f"mh{j}")
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH, verified with exact
+    Jaccard so the output has no false positives (recall is the probabilistic
+    part, ~ 1-(1-t^r)^b).
+
+    Pipeline (each stage one shuffle, all keyed):
+      signatures -> band keys -> bucket self-join (skew-capped at
+      max_bucket) -> exact-Jaccard verification on candidates only.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+
+    band_structs = [
+        F.struct(
+            F.lit(bid).alias("band"),
+            F.xxhash64(*[F.col(f"mh{bid * rows + r}") for r in range(rows)]).alias(
+                "bkey"
+            ),
+        )
+        for bid in range(bands)
+    ]
+    banded = sig.select(
+        "id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+
+    # Skew guard: drop degenerate buckets (e.g. empty-text signature) that
+    # would go quadratic; at 100 TB this is the difference between a bounded
+    # self-join and a runaway stage.
+    bucket_sizes = banded.groupBy("band", "bkey").agg(F.count("*").alias("bsz"))
+    banded = banded.join(
+        bucket_sizes.filter(F.col("bsz") <= max_bucket), ["band", "bkey"]
+    ).select("id", "band", "bkey")
+
+    x, y = banded.alias("x"), banded.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+    # Exact verification restricted to candidates (semi-join prunes the
+    # inverted index to candidate docs first).
+    ids = cand.select(F.col("id_a").alias("id")).unionByName(
+        cand.select(F.col("id_b").alias("id"))
+    ).distinct()
+    ex = _exploded_shingles(df, text_col, id_col, n).join(ids, "id", "left_semi")
+    sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        cand.join(a, F.col("a.id") == F.col("id_a"))
+        .join(b, (F.col("b.id") == F.col("id_b")) & (F.col("a.sh") == F.col("b.sh")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document: each token votes ±1 on every bit of its
+    xxhash64; the fingerprint takes the majority sign. Pure expression
+    aggregation (bits x conditional sums), map-side combinable."""
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = ex.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                    -1
+                )
+            ).alias(f"v{i}")
+            for i in range(bits)
+        ]
+    )
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return votes.select("id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance <= max_hamming.
+
+    Pigeonhole banding: split the 64-bit fingerprint into `chunks` 16-bit
+    chunks; any pair within Hamming distance < chunks must share a chunk,
+    so candidates come from chunk-equality buckets (linear), then the exact
+    Hamming filter runs on candidates only (bit_count(xor))."""
+    fps = simhash(df, text_col, id_col)
+    width = 64 // chunks
+    chunk_cols = [
+        F.shiftrightunsigned(F.col("simhash"), i * width)
+        .bitwiseAND(F.lit((1 << width) - 1))
+        .alias(f"c{i}")
+        for i in range(chunks)
+    ]
+    banded = fps.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("chunk"), chunk_cols[i].alias("ckey"))
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", F.col("bb.chunk").alias("chunk"), F.col("bb.ckey").alias("ckey"))
+    x, y = banded.alias("x"), banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.ckey") == F.col("y.ckey"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

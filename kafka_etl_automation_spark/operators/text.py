@@ -1,0 +1,127 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure Catalyst expressions (no UDFs): token counting, quality scoring,
+language-ID heuristics, and content fingerprinting. Substring-occurrence
+counting uses the length/replace identity so any ANSI engine reproduces the
+numbers exactly (see functions.scalar.occurrences).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_etl_automation_spark.functions.scalar import occurrences
+from kafka_etl_automation_spark.operators.dedup import normalized_text
+
+# Tiny per-language function-word lists for the n-gram/stopword heuristic.
+# Deliberately small: the operator demonstrates deterministic, engine-
+# portable scoring; production would swap in real frequency tables.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "und", "ein"),
+    "fr": ("le", "la", "et", "un"),
+    "es": ("el", "los", "y", "una"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "in", "to")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count over normalized text."""
+    return F.size(F.split(normalized_text(col), " "))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Rough subword-token estimate: word-piece boundaries approximated by a
+    regex split on transitions (letters / digits / other), the classic
+    pre-tokenizer shape. Counts only; no vocabulary."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.regexp_replace(
+        F.lower(c), r"([0-9]+|[^a-z0-9\s]+)", r" $1 "
+    )
+    return F.size(F.split(F.trim(F.regexp_replace(pieces, r"\s+", " ")), " "))
+
+
+def _marker_score(col: Column | str, words: tuple[str, ...]) -> Column:
+    """Occurrences of each marker as a bounded word ( X ) in padded text."""
+    padded = F.concat(F.lit(" "), normalized_text(col), F.lit(" "))
+    score = None
+    for wrd in words:
+        occ = occurrences(padded, f" {wrd} ")
+        score = occ if score is None else score + occ
+    return score
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    return {lang: _marker_score(col, words) for lang, words in LANG_MARKERS.items()}
+
+
+def lang_id(col: Column | str) -> Column:
+    """Argmax language over marker scores, 'und' (undetermined) when all
+    scores are 0. Ties break by language code order — fully deterministic."""
+    scores = lang_scores(col)
+    best_lang = F.lit("und")
+    best_score = F.lit(0.0)
+    for lang in sorted(LANG_MARKERS):  # later wins only on strict >
+        s = scores[lang]
+        is_better = s > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return best_lang
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    padded = F.concat(F.lit(" "), normalized_text(col), F.lit(" "))
+    total = token_count(col)
+    hits = None
+    for wrd in STOPWORDS:
+        occ = occurrences(padded, f" {wrd} ")
+        hits = occ if hits is None else hits + occ
+    return hits / total
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document statistics: lengths, token counts, vocabulary richness,
+    stopword ratio. Single projection — one pass over the corpus."""
+    toks = F.split(normalized_text(text_col), " ")
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        token_count(text_col).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("unique_ratio"),
+        (
+            F.length(F.regexp_replace(normalized_text(text_col), " ", ""))
+            / F.size(toks)
+        ).alias("avg_token_len"),
+        stopword_ratio(text_col).alias("stopword_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite quality score in [0,1]: length signal + vocabulary richness
+    + stopword naturalness — the standard cheap pre-filter in front of
+    model-based quality classifiers. Deterministic double arithmetic."""
+    stats = text_stats(df, text_col, id_col)
+    length_signal = F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
+    return stats.select(
+        id_col,
+        "n_tokens",
+        F.round(
+            length_signal * 0.4
+            + F.col("unique_ratio") * 0.3
+            + F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)) * 0.3,
+            6,
+        ).alias("quality"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content fingerprint: md5 over normalized text plus a 64-bit rolling
+    xxhash — the join key for exact dedup and incremental re-crawl diffing."""
+    return df.select(
+        F.col(id_col),
+        F.md5(normalized_text(text_col)).alias("fp_md5"),
+        F.xxhash64(normalized_text(text_col)).alias("fp_xx64"),
+    )
