@@ -5,11 +5,16 @@ and Hive ``limit 0`` probes (/root/reference/fact_dim_merging.sh:283-287,
 /root/reference/Kafka_ArrivalToConform.sh:473-477); here the catalog is
 ``spark.read.parquet`` + ``df.schema`` — schema-on-read with explicit
 StructTypes available from the parquet footers.
+
+Correctness-critical confs are set HERE, at runtime, on whatever session the
+caller hands us — never rely on the session factory having run: the harness
+(and any production deployment) builds its own SparkSession.
 """
 
 from __future__ import annotations
 
 import os
+from collections.abc import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -28,15 +33,35 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Runtime SQL confs every read path needs, independent of who built the
+# session.  nanosAsLong: testdata's events.ts is parquet TIMESTAMP(NANOS),
+# which Spark's reader rejects outright without it (PARQUET_TYPE_ILLEGAL).
+# UTC session tz keeps timestamp-derived values engine-independent vs the
+# DuckDB oracle (DuckDB timestamps are naive/UTC).
+_RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_confs(spark: SparkSession) -> None:
+    """Apply correctness-critical runtime confs to an existing session."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            spark.conf.set(k, v)
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-# Columns stored as parquet TIMESTAMP(NANOS): Spark reads them as long via
-# spark.sql.legacy.parquet.nanosAsLong (session.py); we convert to
-# TimestampType with integer division (ns -> us) — `div`, not `/`, because
-# epoch-nanos exceed double's 53-bit mantissa.
+# Columns stored as parquet TIMESTAMP(NANOS): read as long via
+# spark.sql.legacy.parquet.nanosAsLong, then convert to TimestampType with
+# integer division (ns -> us) — `div`, not `/`, because epoch-nanos exceed
+# double's 53-bit mantissa.
 _NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
@@ -53,16 +78,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one warehouse table. Parquet scan => Catalyst gets predicate
     pushdown + column pruning for free; never cache here (tables are the
     100 TB side at scale)."""
+    ensure_confs(spark)
     return _fix_nano_ts(spark.read.parquet(table_path(sf_dir, name)), name)
 
 
 def load_tables(
-    spark: SparkSession, sf_dir: str, register_views: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    names: Iterable[str] | None = None,
+    register_views: bool = True,
 ) -> dict[str, DataFrame]:
-    """Load every warehouse table, optionally registering temp views so the
-    SQL surface (spark.sql) sees the same names the DuckDB oracle does."""
+    """Load the requested warehouse tables (default: all that exist),
+    optionally registering temp views so the SQL surface (spark.sql) sees
+    the same names the DuckDB oracle does.
+
+    Callers SHOULD pass ``names``: it scopes I/O and failure blast-radius to
+    the tables a query actually touches — one unreadable file must never
+    sink unrelated queries (round-1 postmortem, VERDICT.md item 2).
+    """
+    ensure_confs(spark)
     out: dict[str, DataFrame] = {}
-    for name in TABLE_NAMES:
+    for name in names if names is not None else TABLE_NAMES:
         path = table_path(sf_dir, name)
         if not os.path.exists(path):
             continue

@@ -75,7 +75,7 @@ def flagship_dim_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders->agg subqueries shuffle on o_custkey ONCE each and AQE coalesces;
     customer join on c_custkey is the only big-side shuffle. No Python.
     """
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("customer", "orders", "nation", "region"))
     customer, orders = t["customer"], t["orders"]
     nation, region = t["nation"], t["region"]
 
@@ -143,7 +143,7 @@ def flagship_dim_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1 column projection (Kafka_ArrivalToConform.sh:27). Column pruning
     reaches the scan: ReadSchema carries only 3 of 6 part columns."""
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("part",))
     return t["part"].select(
         F.col("p_partkey").alias("partkey"),
         F.col("p_name").alias("part_name"),
@@ -159,7 +159,7 @@ def p1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p2_eq_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 equality predicate (Kafka_ArrivalToConform.sh:27,89); pushed to
     the parquet reader (PushedFilters: EqualTo)."""
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("customer",))
     return (
         t["customer"]
         .filter(F.col("c_mktsegment") == "BUILDING")
@@ -176,7 +176,7 @@ def p2_eq_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def p3_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3 conjunctive multi-column predicate (Kafka_ArrivalToConform.sh:43)."""
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("lineitem",))
     return (
         t["lineitem"]
         .filter(
@@ -204,7 +204,7 @@ def p3_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p4_range_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4 range predicates — the run-id window pattern
     (update_job_run_id >= $MIN and <= $MAX, query.txt:2) on dates/amounts."""
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("orders",))
     return (
         t["orders"]
         .filter(
@@ -229,7 +229,7 @@ def p4_range_between(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p5_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5 NULL predicates ORed — the NULL-audit pattern (query.txt:2 third
     field; fact_dim_merging.sh:282-358) applied to join-produced NULLs."""
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("customer", "orders"))
     c, o = t["customer"], t["orders"]
     return (
         c.join(
@@ -249,7 +249,7 @@ def p5_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def p6_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 IN-list predicate (query.txt:1 PARAMETER_NAME IN (...))."""
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("part",))
     return (
         t["part"]
         .filter(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
@@ -269,7 +269,7 @@ def p6_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p7_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7 LIKE patterns, OR-expanded from a comma list
     (FACT_AUTOMATION.sh:75-87)."""
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("part",))
     return (
         t["part"]
         .filter(F.col("p_type").like("%PROMO%") | F.col("p_name").like("%red%"))
@@ -286,7 +286,7 @@ def p7_like(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p8_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 IN-subquery (FACT_AUTOMATION.sh:87) -> left-semi join. The semi
     side is small after its filter, so Catalyst broadcasts it."""
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("orders", "customer"))
     rich = t["customer"].filter(F.col("c_acctbal") > 9000).select("c_custkey")
     return (
         t["orders"]
@@ -304,7 +304,7 @@ def p8_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p9_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9 scalar-subquery predicate (KafkaScript_ConformToStaging.sh:79,103).
     Catalyst plans the subquery as a broadcast scalar — no driver collect."""
-    load_tables(spark, sf_dir)
+    load_tables(spark, sf_dir, names=("lineitem", "part"))
     return spark.sql(
         """SELECT l_orderkey AS orderkey, l_linenumber AS linenumber
            FROM lineitem
@@ -330,7 +330,7 @@ def j2_constant_on_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 outer join with constant predicates inside ON (query.txt:1
     `A.RECORD_STATUS='1' AND C.RECORD_STATUS='1'` in ON). The ON-residence
     matters: rows failing the constant preds are NULL-extended, not dropped."""
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("customer", "orders"))
     c, o = t["customer"], t["orders"]
     cond = (
         (o.o_custkey == c.c_custkey)
@@ -356,7 +356,7 @@ def j2_constant_on_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j3_derived_agg_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 join against an aggregated derived table (query.txt:1 aliases Z,Q).
     Partial aggregation happens map-side before the (tiny) shuffle."""
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("customer", "nation"))
     z = t["customer"].groupBy("c_nationkey").agg(F.count("*").alias("cust_cnt"))
     n = t["nation"]
     return n.join(z, z.c_nationkey == n.n_nationkey, "left").select(
@@ -376,7 +376,7 @@ def j3_derived_agg_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j4_scalar_subquery_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 join keyed on an uncorrelated scalar subquery (query.txt:1
     `ON E.OFFERING_TYPE_ID = (SELECT DISTINCT ...)`)."""
-    load_tables(spark, sf_dir)
+    load_tables(spark, sf_dir, names=("nation", "region"))
     return spark.sql(
         """SELECT n.n_nationkey AS nationkey, r.r_name AS region_name
            FROM nation n
@@ -395,7 +395,7 @@ def j4_scalar_subquery_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j5_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 self-join under two aliases (query.txt:1 PRODUCT_OFFERING A1/A3)."""
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("nation",))
     a, b = t["nation"].alias("a"), t["nation"].alias("b")
     cond = (F.col("b.n_regionkey") == F.col("a.n_regionkey")) & (
         F.col("b.n_nationkey") != F.col("a.n_nationkey")
@@ -418,7 +418,7 @@ def j5_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j6_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 anti-join — the MINUS-as-diff idiom (FACT_AUTOMATION.sh:184-190)
     expressed as left_anti, which avoids materializing both sides."""
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("customer", "orders"))
     c = t["customer"]
     big = t["orders"].filter(F.col("o_totalprice") > 300000)
     return c.join(big, c.c_custkey == big.o_custkey, "left_anti").select(
@@ -441,7 +441,7 @@ def a1_minmax_nvl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 NVL(MAX/MIN, 0) — the incremental-window computation
     (Kafka_MultipleTables.sh:101-105) incl. the empty-input -> (0,0)
     short-circuit path ('Z' matches nothing)."""
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("orders",))
     return (
         t["orders"]
         .filter(F.col("o_orderstatus") == "Z")
@@ -460,7 +460,7 @@ def a1_minmax_nvl(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a2_max_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 MAX(to_number(UNTIL_OFFSET)) (Kafka_ArrivalToConform.sh:117) —
     offsets stored as strings, cast before aggregation."""
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("events",))
     return t["events"].agg(
         F.max(F.col("event_id").cast("string").cast("long")).alias("max_until_offset")
     )
@@ -497,7 +497,7 @@ def a3_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pure map-side-combinable agg over the fact table; 6 aggregates in
     one pass, one shuffle of ~|groups| rows. This is the headline bench agg.
     """
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("lineitem",))
     li = t["lineitem"].filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
     one = F.lit(1).cast("decimal(4,2)")
     disc_price = dec("l_extendedprice", 12, 2) * (one - dec("l_discount", 4, 2))
@@ -527,7 +527,7 @@ def a3_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a4_count_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 filtered COUNT(*) (Kafka_ArrivalToConform.sh:481)."""
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("lineitem",))
     return (
         t["lineitem"]
         .filter(F.col("l_shipdate") >= "1997-01-01 00:00:00")
@@ -541,7 +541,7 @@ def a4_count_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a5_groupby_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 GROUP BY + COUNT (query.txt:1 subqueries Z and Q)."""
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("events",))
     return t["events"].groupBy("event_type").agg(F.count("*").alias("cnt"))
 
 
@@ -555,7 +555,7 @@ def a6_dup_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 duplicate finder: group by the full (projected) column set HAVING
     count>1 (fact_dim_merging.sh:362-392) — the reference builds the column
     list from the catalog; here df.columns plays that role."""
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("orders",))
     proj = t["orders"].select(
         F.col("o_custkey").alias("custkey"), F.col("o_orderstatus").alias("orderstatus")
     )
@@ -572,7 +572,7 @@ def a6_dup_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a7_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 DISTINCT (query.txt:1)."""
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("customer",))
     return t["customer"].select(F.col("c_mktsegment").alias("mktsegment")).distinct()
 
 
@@ -586,7 +586,7 @@ def a8_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 LISTAGG WITHIN GROUP (ORDER BY) (Fact_Dagg_automation.sh:73) ->
     sort-then-join over collect_list; deterministic regardless of shuffle
     order because the sort happens after collection."""
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("nation",))
     return (
         t["nation"]
         .groupBy(F.col("n_regionkey").alias("regionkey"))
@@ -610,15 +610,18 @@ def a8_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a9_count_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9/E2 COUNT-of-MINUS both directions (FACT_AUTOMATION.sh:221-232).
-    Oracle MINUS is distinct-based -> Spark `except` (not exceptAll)."""
-    t = load_tables(spark, sf_dir)
-    src = t["orders"].select(F.col("o_custkey").alias("k"))
-    tgt = t["customer"].select(F.col("c_custkey").alias("k"))
-    a = src.distinct().subtract(tgt.distinct()).count()
-    b = tgt.distinct().subtract(src.distinct()).count()
-    return spark.createDataFrame(
-        [(a, b)], "src_minus_tgt_cnt long, tgt_minus_src_cnt long"
-    )
+    Oracle MINUS is distinct-based -> Spark `except` (not exceptAll).
+
+    One fully lazy plan: each direction is a single-row agg, combined with a
+    crossJoin — zero driver actions at build time, and the two distincts per
+    side are computed inside one job on action (round-1 version ran two eager
+    .count()s + 4 shuffles; VERDICT.md 'what's wrong' item 3)."""
+    t = load_tables(spark, sf_dir, names=("orders", "customer"))
+    src = t["orders"].select(F.col("o_custkey").alias("k")).distinct()
+    tgt = t["customer"].select(F.col("c_custkey").alias("k")).distinct()
+    a = src.subtract(tgt).agg(F.count("*").alias("src_minus_tgt_cnt"))
+    b = tgt.subtract(src).agg(F.count("*").alias("tgt_minus_src_cnt"))
+    return a.crossJoin(b)
 
 
 # ---------------------------------------------------------------------------
@@ -639,7 +642,7 @@ def w1_latest_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 ROW_NUMBER latest-per-group — the control plane's 'current state'
     lookup (Kafka_ArrivalToConform.sh:101-108, appears 6+ times). Unique
     tiebreaker (o_orderkey) makes rank 1 deterministic."""
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("orders",))
     w = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_orderdate"), F.desc("o_orderkey")
     )
@@ -665,7 +668,7 @@ def o1_orderby(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1 ORDER BY positional (Fact_Dagg_automation.sh:116-120) — the
     reference sorts before diffing; the driver compare is order-insensitive
     but the plan still exercises the global sort."""
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("nation",))
     df = t["nation"].select(
         F.col("n_name").alias("nation_name"), F.col("n_regionkey").alias("regionkey")
     )
@@ -688,7 +691,7 @@ def e1_minus_symdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 symmetric MINUS — the reference's data-validation core
     (FACT_AUTOMATION.sh:182-193): source∖target and target∖source, match
     iff both empty. Tagged union so one query returns both directions."""
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("orders", "customer"))
     src = (
         t["orders"].filter(F.col("o_totalprice") > 150000).select(
             F.col("o_custkey").alias("k")
@@ -727,7 +730,7 @@ def e1_minus_symdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def f1_case_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 searched CASE incl. no-ELSE -> NULL (query.txt:1's 8 CASE flags)."""
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("part",))
     return t["part"].select(
         F.col("p_partkey").alias("partkey"),
         F.when(F.col("p_size") < 10, "small")
@@ -756,7 +759,7 @@ def f4_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4/F5 date functions — TO_DATE masks & sysdate stamping
     (Kafka_MultipleTables.sh:79, fact_dim_merging.sh:49) mapped to
     to_timestamp/date_trunc/extract."""
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("orders",))
     return (
         t["orders"]
         .filter(F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
@@ -781,7 +784,7 @@ def f4_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
 def f7_concat_naming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7 string concat — the {topic}_{partition}_{run_id} directory naming
     (Kafka_ArrivalToConform.sh:317)."""
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("events",))
     return (
         t["events"]
         .filter(F.col("event_id") <= 100)
@@ -807,7 +810,7 @@ def f7_concat_naming(spark: SparkSession, sf_dir: str) -> DataFrame:
 def f8_clean_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F8 trim/regex-replace/uppercase cleaning — the sed/typeset -u shell
     cleaning (Kafka_MultipleTables.sh:210-212) as Catalyst expressions."""
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("documents",))
     return t["documents"].select(
         F.col("doc_id").alias("docid"),
         F.upper(
@@ -826,7 +829,7 @@ def f11_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F10/F11 JSON payload handling — the reference counts `},{`-separated
     JSON fragments as text (Kafka_ArrivalToConform.sh:408-415); the engine
     parses properly with get_json_object/from_json."""
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, names=("events",))
     return (
         t["events"]
         .filter(F.col("event_id") <= 500)
@@ -856,7 +859,7 @@ def t6_incremental_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     (KafkaScript_ConformToStaging.sh:76-121; window filter in query.txt:2).
     event_id plays job_run_id. At scale the window predicate prunes
     partitions when the table is partitioned by the run-id column."""
-    load_tables(spark, sf_dir)
+    load_tables(spark, sf_dir, names=("events",))
     return spark.sql(
         """SELECT event_id AS eventid, event_type, user_id AS userid
            FROM events

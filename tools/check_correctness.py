@@ -44,9 +44,20 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entry_mod
-    from kafka_etl_automation_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
-    spark = get_spark("check-correctness")
+    # Deliberately a VANILLA session (not get_spark): the driver gate builds
+    # its own SparkSession, so queries must be correct without any factory
+    # confs — round 1 failed exactly this way (VERDICT.md item 1).
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("check-correctness")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for name in (
         "region nation customer supplier part orders lineitem events "
