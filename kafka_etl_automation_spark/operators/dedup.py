@@ -39,15 +39,21 @@ def shingles(col: Column | str, n: int = 3) -> Column:
 
     1-indexed element_at matches ANSI array semantics so an external SQL
     oracle can reproduce the exact shingle set.
+
+    Documents with fewer than n tokens yield an empty array. The guard must
+    be an explicit when(): sequence(1, 0) in Spark is the DESCENDING array
+    [1, 0], and element_at(t, 0) then raises INVALID_ARRAY_INDEX_IN_ELEMENT_AT
+    — one short doc would abort the whole job.
     """
     t = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(t, (i + j).cast("int")) for j in range(n)]
-            ),
-        )
+        F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<string>"))
     )
 
 
@@ -257,7 +263,16 @@ def simhash_near_pairs(
     Pigeonhole banding: split the 64-bit fingerprint into `chunks` 16-bit
     chunks; any pair within Hamming distance < chunks must share a chunk,
     so candidates come from chunk-equality buckets (linear), then the exact
-    Hamming filter runs on candidates only (bit_count(xor))."""
+    Hamming filter runs on candidates only (bit_count(xor)).
+
+    Recall guarantee requires max_hamming < chunks (pigeonhole); reject
+    configurations that would silently miss pairs."""
+    if max_hamming >= chunks:
+        raise ValueError(
+            f"simhash_near_pairs requires max_hamming < chunks for full recall "
+            f"(got max_hamming={max_hamming}, chunks={chunks}); "
+            f"use chunks={max_hamming + 1} or more"
+        )
     fps = simhash(df, text_col, id_col)
     width = 64 // chunks
     chunk_cols = [

@@ -1,9 +1,9 @@
 """Text-analysis operators for training-data pipelines.
 
 All pure Catalyst expressions (no UDFs): token counting, quality scoring,
-language-ID heuristics, and content fingerprinting. Substring-occurrence
-counting uses the length/replace identity so any ANSI engine reproduces the
-numbers exactly (see functions.scalar.occurrences).
+language-ID heuristics, and content fingerprinting. Word counting filters
+the token array (size(filter(tokens, ...))) so any ANSI engine reproduces
+the numbers exactly.
 """
 
 from __future__ import annotations
@@ -11,7 +11,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kafka_etl_automation_spark.functions.scalar import occurrences
 from kafka_etl_automation_spark.operators.dedup import normalized_text
 
 # Tiny per-language function-word lists for the n-gram/stopword heuristic.
@@ -43,14 +42,23 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     return F.size(F.split(F.trim(F.regexp_replace(pieces, r"\s+", " ")), " "))
 
 
+def _word_hits(col: Column | str, words: tuple[str, ...]) -> Column:
+    """Count tokens equal to any of ``words`` via array filtering.
+
+    Token-exact, so adjacent repeats count fully ('the the' = 2). The old
+    padded-substring approach undercounted them because non-overlapping
+    replace consumed the shared separator space (ADVICE r01). Portable:
+    DuckDB's len(list_filter(...)) reproduces it exactly.
+    """
+    toks = F.split(normalized_text(col), " ")
+    word_arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(word_arr, t))).cast(
+        "double"
+    )
+
+
 def _marker_score(col: Column | str, words: tuple[str, ...]) -> Column:
-    """Occurrences of each marker as a bounded word ( X ) in padded text."""
-    padded = F.concat(F.lit(" "), normalized_text(col), F.lit(" "))
-    score = None
-    for wrd in words:
-        occ = occurrences(padded, f" {wrd} ")
-        score = occ if score is None else score + occ
-    return score
+    return _word_hits(col, words)
 
 
 def lang_scores(col: Column | str) -> dict[str, Column]:
@@ -72,13 +80,7 @@ def lang_id(col: Column | str) -> Column:
 
 
 def stopword_ratio(col: Column | str) -> Column:
-    padded = F.concat(F.lit(" "), normalized_text(col), F.lit(" "))
-    total = token_count(col)
-    hits = None
-    for wrd in STOPWORDS:
-        occ = occurrences(padded, f" {wrd} ")
-        hits = occ if hits is None else hits + occ
-    return hits / total
+    return _word_hits(col, STOPWORDS) / token_count(col)
 
 
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

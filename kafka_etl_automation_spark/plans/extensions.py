@@ -1,12 +1,240 @@
-"""Scale-extension queries: dedup, similarity search, text analysis.
+"""Scale-extension operators registered as named queries with oracles.
 
-These go beyond the reference's own surface (per the north star in
-BASELINE.json): the operators a 100 TB training-data pipeline needs.
-Implementations live in kafka_etl_automation_spark.operators.*; this module
-registers them as named queries with DuckDB oracles where SQL-expressible.
+The LLM-training-data-pipeline surface (project north star): deduplication,
+similarity search, and text analysis over the ``documents``/``embeddings``
+tables. Each deterministic operator carries a DuckDB oracle; the
+probabilistic LSH variants register without oracles (driver runs rows-only
+checks) and are instead covered by invariants in tests/.
+
+Determinism notes mirror plans.registry: identical aliasing both sides,
+sequential left-to-right folds for float work (DuckDB list_reduce matches
+Spark F.aggregate: (0+p1)+p2+... == p1+p2+...), round(…,6) applied BEFORE
+ranking so top-k membership is engine-independent.
 """
 
 from __future__ import annotations
 
-# Populated in the extensions milestone (operators/dedup.py, similarity.py,
-# text.py). Imported by plans/__init__ so registration is centralized.
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_etl_automation_spark.catalog import load_tables
+from kafka_etl_automation_spark.operators import dedup, similarity, text
+from kafka_etl_automation_spark.plans.registry import register
+
+# DuckDB equivalent of dedup.normalized_text (Spark regexp_replace replaces
+# all matches; DuckDB needs the 'g' flag).
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+# DuckDB equivalent of dedup.shingles(text, 3): 1-indexed trigram join over
+# the token list, distinct, empty for docs shorter than 3 tokens.
+_SHINGLES3 = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3
+    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+    ELSE [] END)) AS sh
+  FROM toks
+)
+"""
+
+
+@register(
+    "ext_exact_dedup",
+    f"""SELECT md5({_NORM}) AS fingerprint,
+               MIN(doc_id) AS canonical_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY 1""",
+)
+def ext_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups over documents (operators.dedup.exact_dedup).
+    Scale: one (fingerprint, id) shuffle; text never leaves the scan."""
+    t = load_tables(spark, sf_dir, names=("documents",))
+    return dedup.exact_dedup(t["documents"])
+
+
+@register(
+    "ext_ngram_jaccard",
+    _SHINGLES3
+    + """, sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT i.id_a, i.id_b, i.n_inter,
+             i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.2""",
+)
+def ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs trigram Jaccard >= 0.2 via inverted-index self-join
+    (operators.dedup.ngram_jaccard_pairs). Small-corpus baseline / verifier;
+    the 100 TB path is ext_minhash_lsh."""
+    t = load_tables(spark, sf_dir, names=("documents",))
+    return dedup.ngram_jaccard_pairs(t["documents"], n=3, threshold=0.2)
+
+
+@register("ext_minhash_lsh")  # probabilistic recall -> rows-only check
+def ext_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, exact-Jaccard verified
+    (operators.dedup.minhash_lsh_pairs). Precision invariant (every output
+    pair truly >= threshold) is asserted against ext_ngram_jaccard in
+    tests/test_operators.py; recall is probabilistic, hence no SQL oracle."""
+    t = load_tables(spark, sf_dir, names=("documents",))
+    return dedup.minhash_lsh_pairs(
+        t["documents"], n=3, num_hashes=64, bands=16, threshold=0.5
+    )
+
+
+@register("ext_simhash_pairs")  # xxhash64 fingerprints -> rows-only check
+def ext_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with pigeonhole chunk banding
+    (operators.dedup.simhash_near_pairs); Hamming <= 3 over 4 chunks."""
+    t = load_tables(spark, sf_dir, names=("documents",))
+    return dedup.simhash_near_pairs(t["documents"], max_hamming=3, chunks=4)
+
+
+_STOPS = "['the', 'a', 'of', 'and', 'in', 'to']"
+
+_TEXT_STATS_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, text, {_NORM} AS nt, string_split({_NORM}, ' ') AS t
+  FROM documents
+)
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(t) AS n_tokens,
+       len(list_distinct(t)) AS n_unique_tokens,
+       len(list_distinct(t)) / len(t) AS unique_ratio,
+       length(replace(nt, ' ', '')) / len(t) AS avg_token_len,
+       len(list_filter(t, x -> list_contains({_STOPS}, x))) / len(t)
+         AS stopword_ratio
+FROM tk
+"""
+
+
+@register("ext_text_stats", _TEXT_STATS_ORACLE)
+def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics (operators.text.text_stats): one
+    projection pass, no shuffle at any scale."""
+    t = load_tables(spark, sf_dir, names=("documents",))
+    return text.text_stats(t["documents"])
+
+
+@register(
+    "ext_quality_score",
+    f"""WITH tk AS (
+          SELECT doc_id, {_NORM} AS nt, string_split({_NORM}, ' ') AS t
+          FROM documents
+        ), st AS (
+          SELECT doc_id,
+                 len(t) AS n_tokens,
+                 len(list_distinct(t)) / len(t) AS unique_ratio,
+                 len(list_filter(t, x -> list_contains({_STOPS}, x))) / len(t)
+                   AS stopword_ratio
+          FROM tk)
+        SELECT doc_id, n_tokens,
+               round(least(n_tokens / 100.0, 1.0) * 0.4
+                     + unique_ratio * 0.3
+                     + least(stopword_ratio * 5.0, 1.0) * 0.3, 6) AS quality
+        FROM st""",
+)
+def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (operators.text.quality_score) — the cheap
+    pre-filter in front of model-based classifiers."""
+    t = load_tables(spark, sf_dir, names=("documents",))
+    return text.quality_score(t["documents"])
+
+
+@register(
+    "ext_fingerprint",
+    f"SELECT doc_id, md5({_NORM}) AS fp_md5 FROM documents",
+)
+def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (operators.text.fingerprint), md5 projection —
+    the xxhash64 twin has no DuckDB equivalent and is covered by a
+    determinism test in tests/ instead."""
+    t = load_tables(spark, sf_dir, names=("documents",))
+    return text.fingerprint(t["documents"]).select("doc_id", "fp_md5")
+
+
+# lang_id argmax, iteration order sorted(LANG_MARKERS) = de,en,es,fr; later
+# languages replace only on strict >, so the FIRST language hitting the max
+# wins ties — encoded as the CASE order below.
+_LANG_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+), sc AS (
+  SELECT doc_id,
+         len(list_filter(t, x -> list_contains(['der','die','und','ein'], x))) AS s_de,
+         len(list_filter(t, x -> list_contains(['the','a','of','and'], x))) AS s_en,
+         len(list_filter(t, x -> list_contains(['el','los','y','una'], x))) AS s_es,
+         len(list_filter(t, x -> list_contains(['le','la','et','un'], x))) AS s_fr
+  FROM tk)
+SELECT doc_id,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+            WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+            WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+            WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM sc
+"""
+
+
+@register("ext_lang_id", _LANG_ORACLE)
+def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic marker-word language ID (operators.text.lang_id)."""
+    t = load_tables(spark, sf_dir, names=("documents",))
+    return t["documents"].select(
+        "doc_id", text.lang_id("text").alias("lang_pred")
+    )
+
+
+# Cosine top-k: queries = vectors with vec_id < 8. Same sequential fold and
+# round-before-rank on both engines.
+_DOT = "list_reduce([a.e[i] * q.e[i] FOR i IN range(1, len(a.e)+1)], (x,y) -> x+y)"
+_NRM_A = "sqrt(list_reduce([a.e[i] * a.e[i] FOR i IN range(1, len(a.e)+1)], (x,y) -> x+y))"
+_NRM_Q = "sqrt(list_reduce([q.e[i] * q.e[i] FOR i IN range(1, len(q.e)+1)], (x,y) -> x+y))"
+
+_COSINE_ORACLE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         round({_DOT} / ({_NRM_A} * {_NRM_Q}), 6) AS cosine
+  FROM v a JOIN v q ON q.vec_id < 8 AND a.vec_id <> q.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@register("ext_cosine_topk", _COSINE_ORACLE)
+def ext_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 (operators.similarity.cosine_topk):
+    broadcast query side, big side streams once with no shuffle."""
+    t = load_tables(spark, sf_dir, names=("embeddings",))
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+@register("ext_lsh_cosine_topk")  # single-probe LSH: recall<1 -> rows-only
+def ext_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-5 via hyperplane-LSH bucketing
+    (operators.similarity.lsh_cosine_topk); precision invariant (scores on
+    returned pairs match brute force) asserted in tests/."""
+    t = load_tables(spark, sf_dir, names=("embeddings",))
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # 6 planes -> 64 buckets: dense enough at test SFs for buckets to hold
+    # genuine neighbor candidates (10+ planes leaves singletons only).
+    return similarity.lsh_cosine_topk(emb, queries, k=5, num_planes=6)
