@@ -1,0 +1,95 @@
+"""Headline benchmark: wall-clock per query at $SPARK_GRAFT_SF_DIR (sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "total_wall_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Query set: the flagship dim build, the heaviest relational operators, the
+scale-path dedup/similarity/text extensions, SCD merge, multimodal
+mapInPandas, and the streaming ingest contract — the data-plane surface.
+Control-plane registry round-trips (m2/ctl) are excluded: they measure tiny
+metadata writes, not engine throughput.
+
+Each query is forced end-to-end with the noop sink (full materialization,
+no driver collect, no disk write skew).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "flagship_dim_customer",
+    "a3_pricing_summary",
+    "a6_dup_finder",
+    "a9_count_minus",
+    "w1_latest_per_group",
+    "e1_minus_symdiff",
+    "j2_constant_on_pred",
+    "f8_clean_strings",
+    "t6_incremental_window",
+    "m4_scd2_merge",
+    "q2_data_diff",
+    "ext_exact_dedup",
+    "ext_minhash_lsh",
+    "ext_simhash_pairs",
+    "ext_text_stats",
+    "ext_quality_score",
+    "ext_cosine_topk",
+    "ext_lsh_cosine_topk",
+    "mm_image_features",
+    "mm_frame_sample",
+    "stream_file_ingest",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = None
+
+    import __spark_entry__ as entry_mod
+    from kafka_etl_automation_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = entry_mod.queries()
+
+    # Warm the JVM/codegen paths once so per-query numbers measure the
+    # queries, not session startup.
+    qs["a1_minmax_nvl"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

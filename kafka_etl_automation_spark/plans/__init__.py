@@ -10,3 +10,4 @@ from kafka_etl_automation_spark.plans.registry import QUERIES, ORACLES, register
 # Populate the registry.
 from kafka_etl_automation_spark.plans import relational  # noqa: F401,E402
 from kafka_etl_automation_spark.plans import extensions  # noqa: F401,E402
+from kafka_etl_automation_spark.plans import lifecycle  # noqa: F401,E402

@@ -1,0 +1,468 @@
+"""Lifecycle queries: DQ suite, DML/SCD, control plane, streaming, F-gaps.
+
+Unlike plans.relational (pure read-only query builders), these entries are
+WORKFLOW queries: each materializes engine state (control tables, dim
+partitions, bronze dirs) under a fresh temp directory at build time and
+returns a DataFrame over the outcome — which is deterministic, so each
+still carries a DuckDB oracle. This is exactly how the reference validates
+its own write paths: run the load, then query the result and compare
+(/root/reference/rerunnability.sh:91-181).
+
+Temp state lives under /tmp (unique per call); the returned frame reads
+from it lazily, so the dirs are left in place for the caller's action.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_etl_automation_spark import quality, scd
+from kafka_etl_automation_spark.catalog import load_table, load_tables
+from kafka_etl_automation_spark.control import JobRegistry
+from kafka_etl_automation_spark.functions.templating import run_template
+from kafka_etl_automation_spark.operators import multimodal
+from kafka_etl_automation_spark.plans.registry import register
+from kafka_etl_automation_spark.streaming import ingest
+
+
+def _tmp(tag: str) -> str:
+    return tempfile.mkdtemp(prefix=f"kea_{tag}_")
+
+
+# ---------------------------------------------------------------------------
+# O2 / F5 / F9 gaps
+# ---------------------------------------------------------------------------
+
+
+@register("o2_schema_probe", "SELECT * FROM customer LIMIT 0")
+def o2_schema_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 LIMIT-0 schema probe (Kafka_ArrivalToConform.sh:473): zero rows,
+    full schema — the reference's header grab."""
+    return load_table(spark, sf_dir, "customer").limit(0)
+
+
+@register(
+    "f5_timestamp_sanity",
+    """SELECT now() >= TIMESTAMP '2020-01-01' AS ts_ok,
+              current_date >= DATE '2020-01-01' AS date_ok""",
+)
+def f5_timestamp_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 current timestamp (sysdate stamping,
+    Kafka_ArrivalToConform.sh:172). Wall-clock values can't hash-match an
+    oracle, so the entry checks the deterministic *predicate* both engines
+    agree on; the raw stamping is exercised by quality.append_audit."""
+    return spark.range(1).select(
+        (F.current_timestamp() >= F.to_timestamp(F.lit("2020-01-01 00:00:00"))).alias(
+            "ts_ok"
+        ),
+        (F.current_date() >= F.to_date(F.lit("2020-01-01"))).alias("date_ok"),
+    )
+
+
+_F9_SQL = """
+SELECT o_orderpriority AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE) AS sum_price
+FROM orders
+WHERE o_totalprice > {lo}
+GROUP BY o_orderpriority
+"""
+
+
+@register("f9_templated_query", _F9_SQL.format(lo="300000.0"))
+def f9_templated_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 parameterized templating: named-parameter spark.sql replaces the
+    reference's sed substitution (FACT_AUTOMATION.sh:116-128). The oracle is
+    the same template with the value inlined — proving binding equivalence."""
+    load_tables(spark, sf_dir, names=("orders",))
+    return run_template(spark, _F9_SQL.format(lo=":lo"), {"lo": 300000.0})
+
+
+# ---------------------------------------------------------------------------
+# Q1-Q4: the DQ combinator suite as official entries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_count_check",
+    """WITH co AS (SELECT COUNT(*) AS c FROM orders),
+            cc AS (SELECT COUNT(*) AS c FROM customer)
+       SELECT 'orders_selfcount' AS check_name, 'PASS' AS status,
+              co.c AS metric_a, co.c AS metric_b FROM co
+       UNION ALL
+       SELECT 'orders_vs_customer',
+              CASE WHEN co.c = cc.c THEN 'PASS' ELSE 'FAIL' END,
+              co.c, cc.c
+       FROM co, cc""",
+)
+def q1_count_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 count validation as a reusable combinator
+    (quality.count_check; FACT_AUTOMATION.sh:221-263): one PASS case and
+    one live comparison."""
+    t = load_tables(spark, sf_dir, names=("orders", "customer"))
+    return quality.run_suite(
+        [
+            quality.count_check(t["orders"], t["orders"], "orders_selfcount"),
+            quality.count_check(t["orders"], t["customer"], "orders_vs_customer"),
+        ]
+    )
+
+
+@register(
+    "q2_data_diff",
+    """WITH s AS (SELECT DISTINCT o_custkey AS k FROM orders),
+            t AS (SELECT DISTINCT c_custkey AS k FROM customer),
+            ab AS (SELECT COUNT(*) AS c FROM (SELECT k FROM s EXCEPT SELECT k FROM t)),
+            ba AS (SELECT COUNT(*) AS c FROM (SELECT k FROM t EXCEPT SELECT k FROM s))
+       SELECT 'custkey_coverage' AS check_name,
+              CASE WHEN ab.c = 0 AND ba.c = 0 THEN 'PASS' ELSE 'FAIL' END AS status,
+              ab.c AS metric_a, ba.c AS metric_b
+       FROM ab, ba
+       UNION ALL
+       SELECT 'nation_self', 'PASS', 0, 0""",
+)
+def q2_data_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 full data diff via symmetric MINUS (quality.data_diff;
+    FACT_AUTOMATION.sh:182-220)."""
+    t = load_tables(spark, sf_dir, names=("orders", "customer", "nation"))
+    src = t["orders"].select(F.col("o_custkey").alias("k"))
+    tgt = t["customer"].select(F.col("c_custkey").alias("k"))
+    nat = t["nation"].select(F.col("n_nationkey").alias("k"))
+    return quality.run_suite(
+        [
+            quality.data_diff(src, tgt, "custkey_coverage"),
+            quality.data_diff(nat, nat, "nation_self"),
+        ]
+    )
+
+
+@register(
+    "q3_dup_check",
+    """WITH g AS (SELECT o_custkey, COUNT(*) AS cnt FROM orders
+                  GROUP BY o_custkey HAVING COUNT(*) > 1),
+            pk AS (SELECT o_orderkey, COUNT(*) AS cnt FROM orders
+                   GROUP BY o_orderkey HAVING COUNT(*) > 1)
+       SELECT 'orders_by_custkey' AS check_name,
+              CASE WHEN COUNT(*) = 0 THEN 'PASS' ELSE 'FAIL' END AS status,
+              COUNT(*) AS metric_a,
+              CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT) AS metric_b
+       FROM g
+       UNION ALL
+       SELECT 'orders_pk',
+              CASE WHEN COUNT(*) = 0 THEN 'PASS' ELSE 'FAIL' END,
+              COUNT(*), CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT)
+       FROM pk""",
+)
+def q3_dup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 duplicate check as a combinator (quality.dup_check;
+    fact_dim_merging.sh:361-413): a key with real duplicates and a clean
+    primary key."""
+    t = load_tables(spark, sf_dir, names=("orders",))
+    return quality.run_suite(
+        [
+            quality.dup_check(t["orders"], ["o_custkey"], "orders_by_custkey"),
+            quality.dup_check(t["orders"], ["o_orderkey"], "orders_pk"),
+        ]
+    )
+
+
+@register(
+    "q4_null_check",
+    """WITH j AS (SELECT c.c_custkey, o.o_orderkey
+                  FROM customer c
+                  LEFT JOIN orders o
+                    ON o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+       SELECT 'bigorder_presence' AS check_name,
+              CASE WHEN SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+                   THEN 'PASS' ELSE 'FAIL' END AS status,
+              CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS metric_a,
+              COUNT(*) AS metric_b
+       FROM j
+       UNION ALL
+       SELECT 'customer_pk_notnull',
+              CASE WHEN SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) = 0
+                   THEN 'PASS' ELSE 'FAIL' END,
+              CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+              COUNT(*)
+       FROM customer""",
+)
+def q4_null_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 NULL-constraint audit as a combinator (quality.null_check;
+    fact_dim_merging.sh:282-358): join-produced NULLs (violations present)
+    plus a clean NOT-NULL key."""
+    t = load_tables(spark, sf_dir, names=("orders", "customer"))
+    c, o = t["customer"], t["orders"]
+    joined = c.join(
+        o, (c.c_custkey == o.o_custkey) & (o.o_totalprice > 400000), "left"
+    ).select("c_custkey", "o_orderkey")
+    return quality.run_suite(
+        [
+            quality.null_check(joined, ["o_orderkey"], "bigorder_presence"),
+            quality.null_check(c, ["c_custkey"], "customer_pk_notnull"),
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# M1-M4: DML / SCD / idempotent re-run
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m1_insert_append",
+    """SELECT CAST(1 AS BIGINT) AS create_job_run_id, COUNT(*) AS n_rows
+       FROM customer WHERE c_nationkey < 5
+       UNION ALL
+       SELECT 2, COUNT(*) FROM customer WHERE c_nationkey >= 5 AND c_nationkey < 10""",
+)
+def m1_insert_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 INSERT-append (Kafka_ArrivalToConform.sh:170-181): two runs
+    appended as run-id partitions, read back and counted per run."""
+    c = load_table(spark, sf_dir, "customer")
+    path = os.path.join(_tmp("m1"), "dim")
+    scd.append_run(c.filter(F.col("c_nationkey") < 5), path, 1)
+    scd.append_run(c.filter(F.col("c_nationkey").between(5, 9)), path, 2)
+    return (
+        scd.read_dim(spark, path)
+        .groupBy(F.col("create_job_run_id").cast("long").alias("create_job_run_id"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@register(
+    "m2_update_flag",
+    """SELECT * FROM (VALUES
+         ('src_job', CAST(1 AS BIGINT), 1, 0, CAST(10 AS BIGINT)),
+         ('src_job', CAST(2 AS BIGINT), 1, 1, CAST(NULL AS BIGINT)),
+         ('src_job', CAST(3 AS BIGINT), 2, 0, CAST(NULL AS BIGINT))
+       ) t(job_name, job_run_id, job_run_status, reprocess_flag,
+           records_processed)""",
+)
+def m2_update_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 UPDATE reprocess flag (rerunnability.sh:85-89) through the real
+    JobRegistry round-trip: allocate runs, finish them, flag run 2, read the
+    control table back (timestamps excluded — wall clock)."""
+    reg = JobRegistry(spark, _tmp("m2"))
+    r1 = reg.start_run("src_job")
+    reg.finish_run("src_job", r1, status=1, records=10)
+    r2 = reg.start_run("src_job")
+    reg.finish_run("src_job", r2, status=1)
+    r3 = reg.start_run("src_job")
+    reg.finish_run("src_job", r3, status=2)
+    reg.mark_reprocess("src_job", r2)
+    return reg.control().select(
+        "job_name", "job_run_id", "job_run_status", "reprocess_flag",
+        "records_processed",
+    )
+
+
+@register(
+    "m3_rerun_idempotent",
+    """SELECT CAST(1 AS BIGINT) AS create_job_run_id, 'v2' AS load_version,
+              COUNT(*) AS n_rows
+       FROM customer WHERE c_nationkey < 5
+       UNION ALL
+       SELECT 2, 'v1', COUNT(*)
+       FROM customer WHERE c_nationkey >= 5 AND c_nationkey < 10""",
+)
+def m3_rerun_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 idempotent delete-then-reload (rerunnability.sh:91-181): run 1 is
+    loaded twice (v1 then v2); dynamic partition overwrite must leave ONLY
+    v2 rows for run 1 and not touch run 2 — zero stale rows per run id."""
+    c = load_table(spark, sf_dir, "customer")
+    path = os.path.join(_tmp("m3"), "dim")
+    r1 = c.filter(F.col("c_nationkey") < 5)
+    scd.append_run(r1.withColumn("load_version", F.lit("v1")), path, 1)
+    scd.append_run(
+        c.filter(F.col("c_nationkey").between(5, 9)).withColumn(
+            "load_version", F.lit("v1")
+        ),
+        path,
+        2,
+    )
+    # the re-run: same run id, new content — must fully replace v1
+    scd.append_run(r1.withColumn("load_version", F.lit("v2")), path, 1)
+    return (
+        scd.read_dim(spark, path)
+        .groupBy(
+            F.col("create_job_run_id").cast("long").alias("create_job_run_id"),
+            "load_version",
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@register(
+    "m4_scd2_merge",
+    """SELECT c_custkey, c_mktsegment,
+              CAST(1 AS BIGINT) AS create_job_run_id,
+              CAST(CASE WHEN c_acctbal < 0 THEN 2 ELSE 1 END AS BIGINT)
+                AS update_job_run_id,
+              CASE WHEN c_acctbal < 0 THEN '0' ELSE '1' END AS record_status
+       FROM customer
+       UNION ALL
+       SELECT c_custkey, 'CHURNED', CAST(2 AS BIGINT), CAST(2 AS BIGINT), '1'
+       FROM customer WHERE c_acctbal < 0""",
+)
+def m4_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 Type-2 SCD merge (rerunnability.sh:47-77 dispatch; Type-2 branch):
+    day-1 snapshot loads run 1; day-2 changes negative-balance customers'
+    segment to CHURNED in run 2 — old version closed (record_status '0',
+    update run 2), new current version inserted."""
+    c = load_table(spark, sf_dir, "customer")
+    day1 = c.select("c_custkey", "c_mktsegment")
+    day2 = c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, F.lit("CHURNED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    dim1 = scd.scd_merge(None, day1, ["c_custkey"], "2", run_id=1)
+    dim2 = scd.scd_merge(dim1, day2, ["c_custkey"], "2", run_id=2)
+    return dim2.select(
+        "c_custkey", "c_mktsegment", "create_job_run_id", "update_job_run_id",
+        "record_status",
+    )
+
+
+# ---------------------------------------------------------------------------
+# T6 / Q5: control plane
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ctl_hwm_windows",
+    """SELECT * FROM (VALUES (1, CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+                            (2, CAST(4 AS BIGINT), CAST(4 AS BIGINT)),
+                            (3, CAST(0 AS BIGINT), CAST(0 AS BIGINT)))
+       t(window_seq, min_run_id, max_run_id)""",
+)
+def ctl_hwm_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 incremental high-water-mark windows through the real registry
+    (KafkaScript_ConformToStaging.sh:76-121): source runs 1,2 succeed and 3
+    fails -> first window [1,2]; run 4 succeeds -> [4,4] (failed run 3 never
+    consumed); nothing new -> (0,0) short-circuit."""
+    reg = JobRegistry(spark, _tmp("ctl"))
+    for status in (1, 1, 2):
+        r = reg.start_run("src_job")
+        reg.finish_run("src_job", r, status=status)
+
+    w1 = reg.hwm_window("stg_job", "src_job")
+    s1 = reg.start_run("stg_job")
+    reg.record_consumed("stg_job", s1, "src_job", w1)
+    reg.finish_run("stg_job", s1, status=1)
+
+    r4 = reg.start_run("src_job")
+    reg.finish_run("src_job", r4, status=1)
+    w2 = reg.hwm_window("stg_job", "src_job")
+    s2 = reg.start_run("stg_job")
+    reg.record_consumed("stg_job", s2, "src_job", w2)
+    reg.finish_run("stg_job", s2, status=1)
+
+    w3 = reg.hwm_window("stg_job", "src_job")
+    assert w3.empty, "third window must short-circuit (0,0)"
+    rows = [
+        Row(window_seq=i, min_run_id=w.min_run_id, max_run_id=w.max_run_id)
+        for i, w in enumerate((w1, w2, w3), start=1)
+    ]
+    return spark.createDataFrame(rows, "window_seq int, min_run_id long, max_run_id long")
+
+
+# ---------------------------------------------------------------------------
+# Streaming: S2/T3/T4 contract as an official entry
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_file_ingest",
+    """SELECT COUNT(*) AS expected_offsets, COUNT(*) AS audited_records,
+              COUNT(*) AS landed_rows, 'PASS' AS status
+       FROM events""",
+)
+def stream_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2/S4 + T3 conservation: drain the events table through a
+    micro-batch file stream (4 range-partitioned files, 1 file per batch)
+    into per-batch bronze dirs with an offset audit, then verify
+    sum(until-from+1) == audited records == landed rows
+    (Kafka_ArrivalToConform.sh:239-251)."""
+    events = load_table(spark, sf_dir, "events")
+    root = _tmp("stream")
+    src = os.path.join(root, "src")
+    # Range partitioning keeps each file's event_ids contiguous, so the
+    # offset arithmetic (until-from+1 == count) is exact per batch.
+    events.repartitionByRange(4, "event_id").write.parquet(src)
+    result = ingest.run_file_ingest(
+        spark,
+        source_dir=src,
+        schema=events.schema,
+        bronze_base=os.path.join(root, "bronze"),
+        audit_path=os.path.join(root, "audit"),
+        checkpoint_dir=os.path.join(root, "ckpt"),
+        topic="events",
+        run_id=1,
+    )
+    audit = ingest.read_audit(spark, os.path.join(root, "audit"))
+    assert ingest.contiguity_violations(audit, order_col="from_offset").isEmpty(), (
+        "offset ranges must tile without gap/overlap (T2)"
+    )
+    return ingest.conservation_check(spark, audit, result.bronze_dirs)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary payloads over mapInPandas)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_image_features",
+    """SELECT doc_id,
+              octet_length(encode(text)) AS n_bytes,
+              octet_length(encode(text)) % 640 AS width,
+              (octet_length(encode(text)) * 7) % 480 AS height,
+              3 AS channels
+       FROM documents""",
+)
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/feature plumbing: binary payload column ->
+    Arrow-batched mapInPandas kernel (operators.multimodal.image_features;
+    stand-in decode, real batch shape). checksum column exercised in tests
+    (no portable SQL equivalent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = multimodal.image_features(multimodal.with_payload(docs))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+    )
+
+
+@register(
+    "mm_frame_sample",
+    """WITH b AS (SELECT doc_id, octet_length(encode(text)) // 16 AS n_frames
+                  FROM documents),
+            fr AS (SELECT doc_id,
+                          unnest(range(0, CAST(n_frames AS BIGINT), 4)) AS f
+                   FROM b)
+       SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+              f * 16 AS frame_offset, 16 AS frame_bytes
+       FROM fr""",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: one-row -> many-rows explosion through
+    mapInPandas (operators.multimodal.frame_sample), every 4th 16-byte
+    'frame'."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = multimodal.frame_sample(multimodal.with_payload(docs))
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "frame_offset",
+        F.col("frame_bytes").cast("int").alias("frame_bytes"),
+    )

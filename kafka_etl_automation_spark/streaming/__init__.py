@@ -1,0 +1,12 @@
+"""Structured-Streaming ingest layer (S1/S2/S4, T1-T4)."""
+
+from kafka_etl_automation_spark.streaming.ingest import (  # noqa: F401
+    AUDIT_SCHEMA,
+    IngestResult,
+    conservation_check,
+    contiguity_violations,
+    kafka_batch_source,
+    kafka_stream_source,
+    read_audit,
+    run_file_ingest,
+)

@@ -1,0 +1,231 @@
+"""Streaming ingest: micro-batch source -> bronze sink with offset audit.
+
+Spark-native re-expression of the reference's arrival->conform contract
+(/root/reference/Kafka_ArrivalToConform.sh):
+
+- S1 partitioned source, batch-bounded by offsets (:66-82): here a
+  Structured Streaming file source over an events directory (the dev env
+  has no Kafka broker; ``kafka_stream_source``/``kafka_batch_source`` build
+  the real Kafka readers for cluster deployments — same downstream code).
+- S2 offset bookkeeping (:114-250): every micro-batch appends an audit row
+  ``(topic, partition, batch_id, from_offset, until_offset, n_records,
+  file_name, file_processing_status, batch_seconds)``; the next batch's
+  from must equal the previous until (T2 contiguity, :221-237) and
+  sum(until-from) must equal rows landed (T3 conservation, :239-251).
+- S4 per-run directory sink with T4 empty-batch suppression (:286-318):
+  zero-record batches write NO file and log ``FILE_PROCESSING_STATUS=0,
+  FILE_NAME=''``.
+- T1 batch duration (:131-181): wall-clock per batch recorded in the audit.
+
+Scale: ``foreachBatch`` bodies are pure DataFrame writes (no collects); the
+audit table is one tiny appended file per batch. On a real cluster the same
+code runs with ``trigger(processingTime=...)`` and a Kafka source; tests use
+``availableNow`` + ``maxFilesPerTrigger`` for deterministic batching.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_etl_automation_spark.io import run_dir
+
+AUDIT_SCHEMA = T.StructType(
+    [
+        T.StructField("topic", T.StringType(), False),
+        T.StructField("partition", T.IntegerType(), False),
+        T.StructField("batch_id", T.LongType(), False),
+        T.StructField("from_offset", T.LongType(), True),
+        T.StructField("until_offset", T.LongType(), True),
+        T.StructField("n_records", T.LongType(), False),
+        T.StructField("file_name", T.StringType(), False),
+        T.StructField("file_processing_status", T.IntegerType(), False),
+        T.StructField("batch_seconds", T.DoubleType(), False),
+    ]
+)
+
+
+@dataclass
+class IngestResult:
+    n_batches: int
+    n_records: int
+    bronze_dirs: list[str]
+
+
+def kafka_stream_source(
+    spark: SparkSession, brokers: str, topic: str
+) -> DataFrame:
+    """S1 streaming flavor: real Kafka source for cluster deployments.
+    (No broker exists in this dev env; constructed lazily, unused in tests.)"""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+
+
+def kafka_batch_source(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    starting_offsets: str,
+    ending_offsets: str,
+) -> DataFrame:
+    """S1 batch flavor: offset-range-bounded read, the reference's
+    per-batch consumption (Kafka_ArrivalToConform.sh:66-82)."""
+    return (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("endingOffsets", ending_offsets)
+        .load()
+    )
+
+
+def run_file_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    bronze_base: str,
+    audit_path: str,
+    checkpoint_dir: str,
+    topic: str = "events",
+    partition: int = 0,
+    run_id: int = 1,
+    offset_col: str = "event_id",
+    max_files_per_trigger: int = 1,
+    fmt: str = "parquet",
+) -> IngestResult:
+    """Drain ``source_dir`` through a micro-batch stream into per-batch
+    bronze directories + an offset audit table, then return totals.
+
+    Uses ``availableNow`` so the call processes everything present and
+    stops — the deterministic-test trigger; swap for
+    ``processingTime`` in a long-running deployment.
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .format(fmt)
+        .load(source_dir)
+    )
+
+    state = {"batches": 0, "records": 0, "dirs": []}
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        t0 = time.time()
+        # One pass for the offset stats; empty-batch detection falls out of
+        # n_records (no separate isEmpty scan).
+        stats = batch_df.agg(
+            F.min(offset_col).cast("long").alias("lo"),
+            F.max(offset_col).cast("long").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        n = int(stats["n"])
+        if n == 0:
+            # T4: no file, status 0, empty name
+            # (Kafka_ArrivalToConform.sh:286-318).
+            file_name, status = "", 0
+        else:
+            target = run_dir(bronze_base, topic, partition, run_id)
+            batch_dir = os.path.join(target, f"batch_id={batch_id}")
+            batch_df.write.mode("overwrite").format(fmt).save(batch_dir)
+            state["dirs"].append(batch_dir)
+            file_name, status = batch_dir, 1
+        state["batches"] += 1
+        state["records"] += n
+        audit_row = spark.createDataFrame(
+            [
+                (
+                    topic,
+                    partition,
+                    int(batch_id),
+                    None if n == 0 else int(stats["lo"]),
+                    None if n == 0 else int(stats["hi"]),
+                    n,
+                    file_name,
+                    status,
+                    float(time.time() - t0),
+                )
+            ],
+            AUDIT_SCHEMA,
+        )
+        audit_row.coalesce(1).write.mode("append").parquet(audit_path)
+
+    query = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return IngestResult(state["batches"], state["records"], state["dirs"])
+
+
+def read_audit(spark: SparkSession, audit_path: str) -> DataFrame:
+    return spark.read.schema(AUDIT_SCHEMA).parquet(audit_path)
+
+
+def contiguity_violations(audit: DataFrame, order_col: str = "batch_id") -> DataFrame:
+    """T2: per (topic, partition), each non-empty batch must start exactly
+    after the previous non-empty batch's until_offset
+    (Kafka_ArrivalToConform.sh:221-237). Returns violating batches (empty
+    frame == contract holds). Offsets here are inclusive ids, so
+    contiguous means from == prev_until + 1.
+
+    ``order_col="batch_id"`` checks arrival order (a Kafka-source
+    guarantee); ``order_col="from_offset"`` checks the weaker but
+    batch-order-independent tiling property (no gaps, no overlaps) — the
+    right contract for file sources, where batch order follows file
+    discovery, not offset order."""
+    w = Window.partitionBy("topic", "partition").orderBy(order_col)
+    nonempty = audit.filter(F.col("n_records") > 0)
+    with_prev = nonempty.withColumn(
+        "prev_until", F.lag("until_offset").over(w)
+    )
+    return with_prev.filter(
+        F.col("prev_until").isNotNull()
+        & (F.col("from_offset") != F.col("prev_until") + 1)
+    )
+
+
+def conservation_check(
+    spark: SparkSession, audit: DataFrame, bronze_dirs: list[str]
+) -> DataFrame:
+    """T3: sum over batches of (until-from+1) == sum of n_records == rows
+    landed in bronze (Kafka_ArrivalToConform.sh:239-251, 486-492). Returns
+    a one-row lazy frame (expected_offsets, audited_records, landed_rows,
+    status)."""
+    sums = audit.filter(F.col("n_records") > 0).agg(
+        F.coalesce(
+            F.sum(F.col("until_offset") - F.col("from_offset") + 1), F.lit(0)
+        ).alias("expected_offsets"),
+        F.coalesce(F.sum("n_records"), F.lit(0)).alias("audited_records"),
+    )
+    if bronze_dirs:
+        landed = (
+            spark.read.parquet(*bronze_dirs)
+            .agg(F.count(F.lit(1)).alias("landed_rows"))
+        )
+    else:
+        landed = spark.range(1).select(F.lit(0).cast("long").alias("landed_rows"))
+    return sums.crossJoin(landed).select(
+        "expected_offsets",
+        "audited_records",
+        "landed_rows",
+        F.when(
+            (F.col("expected_offsets") == F.col("audited_records"))
+            & (F.col("audited_records") == F.col("landed_rows")),
+            F.lit("PASS"),
+        )
+        .otherwise(F.lit("FAIL"))
+        .alias("status"),
+    )

@@ -1,0 +1,71 @@
+"""Source/sink tests: S3/S4/S5/S8 + F9 templating."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_etl_automation_spark import io as kio
+from kafka_etl_automation_spark.functions import templating
+
+
+def test_read_delimited_config(spark, tmp_root):
+    cfg = os.path.join(tmp_root, "query.txt")
+    with open(cfg, "w") as f:
+        f.write("job_a:SELECT 1:daily\njob_b:SELECT 2:hourly\n")
+    df = kio.read_delimited(spark, cfg, sep=":", names=["job", "sql", "sched"])
+    rows = {r.job: (r.sql, r.sched) for r in df.collect()}
+    assert rows == {"job_a": ("SELECT 1", "daily"), "job_b": ("SELECT 2", "hourly")}
+
+
+def test_text_scan_roundtrip(spark, tmp_root):
+    target = kio.write_run_dir(
+        spark.range(3).select(F.concat(F.lit("line"), "id").alias("value")),
+        tmp_root, "topic", 0, 7, fmt="text",
+    )
+    assert target is not None and target.endswith("topic_0_7")
+    lines = kio.read_text_dir(spark, target)
+    assert sorted(r.value for r in lines.collect()) == ["line0", "line1", "line2"]
+
+
+def test_write_run_dir_empty_suppressed(spark, tmp_root):
+    out = kio.write_run_dir(spark.range(0), tmp_root, "topic", 1, 9)
+    assert out is None
+    assert not os.path.exists(kio.run_dir(tmp_root, "topic", 1, 9))
+
+
+def test_write_conformed_layout(spark, tmp_root):
+    path = os.path.join(tmp_root, "conformed")
+    kio.write_conformed(spark.range(4), path, run_id=3, source_file_name="f1")
+    back = spark.read.parquet(path)
+    assert back.count() == 4
+    r = back.first()
+    assert r.create_job_run_id == 3 and r.source_file_name == "f1"
+    # partition layout create_date=... / source_file_name=...
+    day_dirs = [d for d in os.listdir(path) if d.startswith("create_date=")]
+    assert day_dirs and any(
+        f.startswith("source_file_name=")
+        for f in os.listdir(os.path.join(path, day_dirs[0]))
+    )
+
+
+def test_run_template_parameterized(spark):
+    df = spark.range(10)
+    df.createOrReplaceTempView("nums")
+    out = templating.run_template(
+        spark, "SELECT COUNT(*) AS n FROM nums WHERE id >= :lo", {"lo": 7}
+    )
+    assert out.first().n == 3
+
+
+def test_render_template_identifiers():
+    sql = templating.render_template(
+        "SELECT ${col} FROM ${tbl}", {"col": "c1", "tbl": "t1"}
+    )
+    assert sql == "SELECT c1 FROM t1"
+    with pytest.raises(KeyError):
+        templating.render_template("SELECT ${nope} FROM t", {})
+    with pytest.raises(ValueError):
+        templating.render_template("SELECT ${c} FROM t", {"c": "1; DROP TABLE x"})

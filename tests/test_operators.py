@@ -1,0 +1,150 @@
+"""Unit tests for the dedup / similarity / text / multimodal operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_etl_automation_spark.operators import dedup, multimodal, similarity, text
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_shingles_short_doc_empty(spark):
+    """ADVICE r01 high: one short doc must not abort the job."""
+    df = docs_df(spark, [(1, "hi"), (2, "one two three four")])
+    out = df.select("doc_id", dedup.shingles("text", 3).alias("sh")).collect()
+    by_id = {r.doc_id: r.sh for r in out}
+    assert by_id[1] == []
+    assert by_id[2] == ["one two three", "two three four"]
+
+
+def test_exact_dedup_groups(spark):
+    df = docs_df(
+        spark,
+        [(1, "Hello  World"), (2, "hello world"), (3, "different text")],
+    )
+    out = {r.canonical_id: r.n_copies for r in dedup.exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_lsh_precision(spark):
+    """Every emitted pair must truly meet the Jaccard threshold (precision
+    invariant; recall is the probabilistic part)."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "completely unrelated text about spark execution engines"),
+        (4, "a"),  # short doc: no shingles at n=3
+    ]
+    df = docs_df(spark, rows)
+    pairs = dedup.minhash_lsh_pairs(df, n=3, num_hashes=16, bands=4, threshold=0.5)
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(df, n=3, threshold=0.0).collect()
+    }
+    for r in pairs.collect():
+        assert exact[(r.id_a, r.id_b)] >= 0.5
+        assert abs(exact[(r.id_a, r.id_b)] - r.jaccard) < 1e-12
+    # the near-identical pair must be found (16 hashes, 4 bands, j~0.64)
+    assert (1, 2) in {(r.id_a, r.id_b) for r in pairs.collect()}
+
+
+def test_simhash_rejects_bad_banding(spark):
+    df = docs_df(spark, [(1, "a b c")])
+    with pytest.raises(ValueError, match="max_hamming < chunks"):
+        dedup.simhash_near_pairs(df, max_hamming=4, chunks=4)
+
+
+def test_simhash_near_pairs_matches_bruteforce(spark):
+    """Pigeonhole banding (max_hamming < chunks) guarantees FULL recall:
+    banded candidates filtered by exact hamming must equal the brute-force
+    all-pairs answer."""
+    rows = [
+        (i, t)
+        for i, t in enumerate(
+            [
+                "the quick brown fox jumps over the lazy dog again and again",
+                "the quick brown fox jumps over the lazy dog again and again today",
+                "entirely different content on another topic altogether",
+                "the quick brown fox jumps over the lazy dog",
+                "spark structured streaming micro batch offset bookkeeping",
+            ]
+        )
+    ]
+    df = docs_df(spark, rows)
+    max_h = 16
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_near_pairs(df, max_hamming=max_h, chunks=32).collect()
+    }
+    fps = {r.id: r.simhash for r in dedup.simhash(df).collect()}
+
+    def ham(a, b):
+        # mask to unsigned 64-bit: fingerprints are signed longs in Spark
+        return bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
+
+    brute = {
+        (a, b, ham(a, b)) for a in fps for b in fps if a < b and ham(a, b) <= max_h
+    }
+    assert banded == brute and len(brute) > 0
+
+
+def test_adjacent_stopwords_counted_fully(spark):
+    """ADVICE r01: 'the the' must count 2, not 1."""
+    df = docs_df(spark, [(1, "the the the cat")])
+    out = df.select(text.stopword_ratio("text").alias("r")).first()
+    assert abs(out.r - 3 / 4) < 1e-12
+
+
+def test_lang_id_deterministic(spark):
+    df = docs_df(
+        spark,
+        [
+            (1, "the cat and the dog of a house"),
+            (2, "der hund und die katze ein haus"),
+            (3, "xyzzy plugh"),
+        ],
+    )
+    out = {r.doc_id: r.lang for r in
+           df.select("doc_id", text.lang_id("text").alias("lang")).collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_cosine_topk_exact(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.cosine_topk(emb, q, k=2).orderBy("rank").collect()
+    assert [r.neighbor_id for r in out] == [2, 3]
+    assert out[0].cosine > 0.99
+
+
+def test_multimodal_image_features_checksum(spark):
+    df = docs_df(spark, [(1, "abc"), (2, "")])
+    feats = {r.doc_id: r for r in
+             multimodal.image_features(multimodal.with_payload(df)).collect()}
+    assert feats[1].n_bytes == 3
+    assert feats[1].checksum == ord("a") + ord("b") + ord("c")
+    assert feats[1].width == 3 and feats[1].height == 21 and feats[1].channels == 3
+    assert feats[2].n_bytes == 0 and feats[2].checksum == 0
+
+
+def test_multimodal_frame_sample_shape(spark):
+    # 80 bytes -> 5 frames of 16 -> sampled idx 0, 4
+    df = docs_df(spark, [(1, "x" * 80)])
+    out = multimodal.frame_sample(multimodal.with_payload(df)).orderBy(
+        "frame_idx"
+    ).collect()
+    assert [(r.frame_idx, r.frame_offset) for r in out] == [(0, 0), (4, 64)]
+
+
+def test_multimodal_real_decode_is_marked_seam(spark):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_real(None)

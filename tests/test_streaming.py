@@ -1,0 +1,91 @@
+"""Streaming-contract tests: S2 offsets, T2 contiguity, T3 conservation,
+T4 empty-batch suppression — on a micro-batch file stream with availableNow."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from kafka_etl_automation_spark.streaming import ingest
+
+
+def _write_batch_file(spark, src, lo, hi, name):
+    (
+        spark.range(lo, hi)
+        .select(F.col("id").alias("event_id"), (F.col("id") * 2.0).alias("value"))
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(src)
+    )
+
+
+def _run(spark, root, src):
+    schema = "event_id long, value double"
+    from pyspark.sql.types import _parse_datatype_string
+
+    return ingest.run_file_ingest(
+        spark,
+        source_dir=src,
+        schema=_parse_datatype_string(schema),
+        bronze_base=os.path.join(root, "bronze"),
+        audit_path=os.path.join(root, "audit"),
+        checkpoint_dir=os.path.join(root, "ckpt"),
+        topic="t",
+        run_id=1,
+    )
+
+
+def test_ingest_contract(spark, tmp_root):
+    src = os.path.join(tmp_root, "src")
+    _write_batch_file(spark, src, 0, 100, "a")
+    _write_batch_file(spark, src, 100, 250, "b")
+    res = _run(spark, tmp_root, src)
+
+    assert res.n_records == 250
+    assert res.n_batches >= 1
+    audit = ingest.read_audit(spark, os.path.join(tmp_root, "audit"))
+    # S2: offsets recorded per batch
+    assert audit.filter("n_records > 0").count() == len(res.bronze_dirs)
+    # T2: offset ranges tile [0, 250) without gap/overlap
+    assert ingest.contiguity_violations(audit, order_col="from_offset").isEmpty()
+    # T3: sum(until-from+1) == audited == landed
+    cons = ingest.conservation_check(spark, audit, res.bronze_dirs).first()
+    assert cons.status == "PASS"
+    assert cons.landed_rows == 250
+    # T1: batch wall-clock recorded
+    assert all(r.batch_seconds > 0 for r in audit.collect())
+
+
+def test_empty_batch_suppression(spark, tmp_root):
+    """T4: zero-record batch -> no bronze dir, status 0, empty file name."""
+    src = os.path.join(tmp_root, "src")
+    # a parquet file with zero rows
+    spark.range(0).select(
+        F.col("id").alias("event_id"), F.lit(0.0).alias("value")
+    ).coalesce(1).write.parquet(src)
+    res = _run(spark, tmp_root, src)
+
+    assert res.n_records == 0
+    assert res.bronze_dirs == []
+    bronze = os.path.join(tmp_root, "bronze")
+    assert not os.path.exists(bronze) or os.listdir(bronze) == []
+    audit = ingest.read_audit(spark, os.path.join(tmp_root, "audit"))
+    rows = audit.collect()
+    assert all(r.file_processing_status == 0 and r.file_name == "" for r in rows)
+
+
+def test_checkpoint_no_reprocessing(spark, tmp_root):
+    """S2/T2: a second drain over the same checkpoint consumes nothing new
+    until new files arrive — Structured Streaming's offset bookkeeping."""
+    src = os.path.join(tmp_root, "src")
+    _write_batch_file(spark, src, 0, 50, "a")
+    r1 = _run(spark, tmp_root, src)
+    assert r1.n_records == 50
+    r2 = _run(spark, tmp_root, src)  # same checkpoint, no new files
+    assert r2.n_records == 0
+    _write_batch_file(spark, src, 50, 80, "b")
+    r3 = _run(spark, tmp_root, src)
+    assert r3.n_records == 30  # only the new file
+    audit = ingest.read_audit(spark, os.path.join(tmp_root, "audit"))
+    assert ingest.contiguity_violations(audit, order_col="from_offset").isEmpty()
