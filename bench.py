@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "t6_incremental_window",
     "m4_scd2_merge",
     "q2_data_diff",
+    "pipeline_incremental_load",
     "ext_exact_dedup",
     "ext_minhash_lsh",
     "ext_simhash_pairs",

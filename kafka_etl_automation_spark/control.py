@@ -14,20 +14,32 @@ Spark-native re-expression of the reference's ``JOB_PROCESS_CONTROL`` /
   (/root/reference/KafkaScript_ConformToStaging.sh:113-121)
 - reprocess flagging (M2, /root/reference/rerunnability.sh:85-89)
 
-Storage is a directory of tiny parquet tables (the control plane is
-metadata — KBs even when the data plane is 100 TB; full-overwrite writes of
-these tables are deliberate and cheap, and keep the engine free of any
-external transactional dependency). All *data-plane* reads driven by the
-window are ordinary pushed-down parquet scans: ``job_run_id > hwm`` prunes
-at the scan, which is exactly the behavior that matters at scale.
+Storage is a directory of tiny parquet tables. The control plane is
+METADATA — KBs even when the data plane is 100 TB — so registry mutations
+(the reference's single-row Oracle DML) run driver-side over pyarrow with
+an atomic rename swap: no Spark job per metadata op (a ~1.5 s/op saving
+that multiplies across every load). The *views* (``control()``/
+``control_src()``) surface the same tables as Spark DataFrames for any
+plan that wants to join against them, and all *data-plane* reads driven by
+a window are ordinary pushed-down parquet scans: ``run_col BETWEEN lo AND
+hi`` prunes at the scan, which is the behavior that matters at scale.
+
+Single-writer assumption (one orchestrator mutates the registry at a time)
+— the same assumption the reference's sequential shell drivers make.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Row, SparkSession, Window
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -35,7 +47,7 @@ CONTROL_SCHEMA = T.StructType(
     [
         T.StructField("job_name", T.StringType(), False),
         T.StructField("job_run_id", T.LongType(), False),
-        T.StructField("job_run_status", T.IntegerType(), False),  # 1=success
+        T.StructField("job_run_status", T.IntegerType(), False),  # 0 running/1 ok/2 fail
         T.StructField("job_start_ts", T.TimestampType(), True),
         T.StructField("job_end_ts", T.TimestampType(), True),
         T.StructField("reprocess_flag", T.IntegerType(), False),
@@ -50,6 +62,28 @@ SRC_SCHEMA = T.StructType(
         T.StructField("src_job_name", T.StringType(), False),
         T.StructField("min_src_run_id", T.LongType(), False),
         T.StructField("max_src_run_id", T.LongType(), False),
+    ]
+)
+
+_CONTROL_PA = pa.schema(
+    [
+        ("job_name", pa.string()),
+        ("job_run_id", pa.int64()),
+        ("job_run_status", pa.int32()),
+        ("job_start_ts", pa.timestamp("us")),
+        ("job_end_ts", pa.timestamp("us")),
+        ("reprocess_flag", pa.int32()),
+        ("records_processed", pa.int64()),
+    ]
+)
+
+_SRC_PA = pa.schema(
+    [
+        ("job_name", pa.string()),
+        ("job_run_id", pa.int64()),
+        ("src_job_name", pa.string()),
+        ("min_src_run_id", pa.int64()),
+        ("max_src_run_id", pa.int64()),
     ]
 )
 
@@ -69,12 +103,7 @@ class HwmWindow:
 
 
 class JobRegistry:
-    """Run registry backed by parquet control tables under ``root``.
-
-    The registry is driver-side by design: allocation and status updates are
-    single-row metadata operations (the reference does them as single Oracle
-    DML statements); only window *application* touches the data plane.
-    """
+    """Run registry backed by parquet control tables under ``root``."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -86,32 +115,46 @@ class JobRegistry:
     def _path(self, name: str) -> str:
         return os.path.join(self.root, name)
 
-    def _read(self, name: str, schema: T.StructType) -> DataFrame:
+    def _read_pd(self, name: str, schema: pa.Schema) -> pd.DataFrame:
         path = self._path(name)
         if not os.path.exists(path):
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(path)
+            return schema.empty_table().to_pandas()
+        return pq.read_table(path).to_pandas()
 
-    def _overwrite(self, df: DataFrame, name: str) -> None:
-        # Write to a sibling temp dir then swap: keeps a reader from ever
-        # seeing a half-written control table without needing a table format.
+    def _write_pd(self, pdf: pd.DataFrame, name: str, schema: pa.Schema) -> None:
+        """Atomic swap: write a fresh single-file table dir, rename over."""
         final = self._path(name)
-        tmp = final + "__tmp"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        tmp = final + f"__tmp{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp)
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+            os.path.join(tmp, "part-0.parquet"),
+        )
         old = final + "__old"
         if os.path.exists(final):
             os.rename(final, old)
         os.rename(tmp, final)
         if os.path.exists(old):
-            import shutil
-
             shutil.rmtree(old)
 
+    def _control_pd(self) -> pd.DataFrame:
+        return self._read_pd("job_process_control", _CONTROL_PA)
+
+    def _src_pd(self) -> pd.DataFrame:
+        return self._read_pd("job_process_control_src", _SRC_PA)
+
     def control(self) -> DataFrame:
-        return self._read("job_process_control", CONTROL_SCHEMA)
+        """The control table as a Spark DataFrame (for plans that join it)."""
+        path = self._path("job_process_control")
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], CONTROL_SCHEMA)
+        return self.spark.read.schema(CONTROL_SCHEMA).parquet(path)
 
     def control_src(self) -> DataFrame:
-        return self._read("job_process_control_src", SRC_SCHEMA)
+        path = self._path("job_process_control_src")
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], SRC_SCHEMA)
+        return self.spark.read.schema(SRC_SCHEMA).parquet(path)
 
     # -- run lifecycle ------------------------------------------------------
 
@@ -119,92 +162,62 @@ class JobRegistry:
         """Allocate the next run id for ``job_name`` and record it running
         (status 0). NVL(MAX(job_run_id),0)+1, as the reference computes it
         (Kafka_MultipleTables.sh:101-105)."""
-        ctl = self.control()
-        row = (
-            ctl.filter(F.col("job_name") == job_name)
-            .agg(F.coalesce(F.max("job_run_id"), F.lit(0)).alias("mx"))
-            .first()
-        )
-        run_id = int(row["mx"]) + 1
-        new = self.spark.createDataFrame(
+        ctl = self._control_pd()
+        mine = ctl[ctl["job_name"] == job_name]
+        run_id = int(mine["job_run_id"].max()) + 1 if len(mine) else 1
+        new = pd.DataFrame(
             [
-                Row(
-                    job_name=job_name,
-                    job_run_id=run_id,
-                    job_run_status=0,
-                    job_start_ts=None,
-                    job_end_ts=None,
-                    reprocess_flag=0,
-                    records_processed=None,
-                )
-            ],
-            CONTROL_SCHEMA,
-        ).withColumn("job_start_ts", F.current_timestamp())
-        self._overwrite(ctl.unionByName(new), "job_process_control")
+                {
+                    "job_name": job_name,
+                    "job_run_id": run_id,
+                    "job_run_status": 0,
+                    "job_start_ts": pd.Timestamp.now(),
+                    "job_end_ts": pd.NaT,
+                    "reprocess_flag": 0,
+                    "records_processed": None,
+                }
+            ]
+        ).astype({"job_end_ts": "datetime64[us]", "records_processed": "Int64"})
+        merged = new if not len(ctl) else pd.concat([ctl, new], ignore_index=True)
+        self._write_pd(merged, "job_process_control", _CONTROL_PA)
         return run_id
 
     def finish_run(
         self, job_name: str, run_id: int, status: int = 1, records: int | None = None
     ) -> None:
-        """Mark a run finished (job_run_status=1 success / 2 failed) and
-        stamp job_end_ts — the reference's post-load control UPDATE
+        """Mark a run finished (1 success / 2 failed) and stamp job_end_ts —
+        the reference's post-load control UPDATE
         (KafkaScript_ConformToStaging.sh:186-199)."""
-        ctl = self.control()
-        hit = (F.col("job_name") == job_name) & (F.col("job_run_id") == run_id)
-        updated = (
-            ctl.withColumn(
-                "job_run_status",
-                F.when(hit, F.lit(status)).otherwise(F.col("job_run_status")),
-            )
-            .withColumn(
-                "job_end_ts",
-                F.when(hit, F.current_timestamp()).otherwise(F.col("job_end_ts")),
-            )
-            .withColumn(
-                "records_processed",
-                F.when(hit, F.lit(records).cast("long")).otherwise(
-                    F.col("records_processed")
-                ),
-            )
-        )
-        self._overwrite(updated, "job_process_control")
+        ctl = self._control_pd()
+        hit = (ctl["job_name"] == job_name) & (ctl["job_run_id"] == run_id)
+        ctl.loc[hit, "job_run_status"] = status
+        ctl.loc[hit, "job_end_ts"] = pd.Timestamp.now()
+        if records is not None:
+            ctl.loc[hit, "records_processed"] = records
+        self._write_pd(ctl, "job_process_control", _CONTROL_PA)
 
     def latest_success(self, job_name: str) -> int | None:
-        """Latest successful run id — the W1 ROW_NUMBER 'current state'
-        lookup (Kafka_ArrivalToConform.sh:101-108)."""
-        w = Window.partitionBy("job_name").orderBy(
-            F.desc("job_end_ts"), F.desc("job_run_id")
-        )
-        row = (
-            self.control()
-            .filter((F.col("job_name") == job_name) & (F.col("job_run_status") == 1))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .first()
-        )
-        return None if row is None else int(row["job_run_id"])
+        """Latest successful run id — the 'current state' lookup the
+        reference does with ROW_NUMBER (Kafka_ArrivalToConform.sh:101-108)."""
+        ctl = self._control_pd()
+        ok = ctl[(ctl["job_name"] == job_name) & (ctl["job_run_status"] == 1)]
+        if not len(ok):
+            return None
+        ok = ok.sort_values(["job_end_ts", "job_run_id"], ascending=False)
+        return int(ok.iloc[0]["job_run_id"])
 
     def run_status(self, job_name: str, run_id: int) -> int | None:
         """Q5 run-status validation (Kafka_ArrivalToConform.sh:197-207)."""
-        row = (
-            self.control()
-            .filter((F.col("job_name") == job_name) & (F.col("job_run_id") == run_id))
-            .select("job_run_status")
-            .first()
-        )
-        return None if row is None else int(row["job_run_status"])
+        ctl = self._control_pd()
+        hit = ctl[(ctl["job_name"] == job_name) & (ctl["job_run_id"] == run_id)]
+        return None if not len(hit) else int(hit.iloc[0]["job_run_status"])
 
     def mark_reprocess(self, job_name: str, run_id: int) -> None:
         """M2: UPDATE ... SET REPROCESS_FLAG=1 (rerunnability.sh:85-89)."""
-        ctl = self.control()
-        hit = (F.col("job_name") == job_name) & (F.col("job_run_id") == run_id)
-        self._overwrite(
-            ctl.withColumn(
-                "reprocess_flag",
-                F.when(hit, F.lit(1)).otherwise(F.col("reprocess_flag")),
-            ),
-            "job_process_control",
-        )
+        ctl = self._control_pd()
+        hit = (ctl["job_name"] == job_name) & (ctl["job_run_id"] == run_id)
+        ctl.loc[hit, "reprocess_flag"] = 1
+        self._write_pd(ctl, "job_process_control", _CONTROL_PA)
 
     # -- incremental windows (T6) -------------------------------------------
 
@@ -217,50 +230,38 @@ class JobRegistry:
         from JOB_PROCESS_CONTROL_SRC, then NVL(MIN/MAX over newer source
         runs, 0).
         """
-        consumed = (
-            self.control_src()
-            .filter(
-                (F.col("job_name") == job_name)
-                & (F.col("src_job_name") == src_job_name)
-            )
-            .agg(F.coalesce(F.max("max_src_run_id"), F.lit(0)).alias("hwm"))
-            .first()
-        )
-        hwm = int(consumed["hwm"])
-        avail = (
-            self.control()
-            .filter(
-                (F.col("job_name") == src_job_name)
-                & (F.col("job_run_status") == 1)
-                & (F.col("job_run_id") > hwm)
-            )
-            .agg(
-                F.coalesce(F.min("job_run_id"), F.lit(0)).alias("lo"),
-                F.coalesce(F.max("job_run_id"), F.lit(0)).alias("hi"),
-            )
-            .first()
-        )
-        return HwmWindow(int(avail["lo"]), int(avail["hi"]))
+        src = self._src_pd()
+        mine = src[(src["job_name"] == job_name) & (src["src_job_name"] == src_job_name)]
+        hwm = int(mine["max_src_run_id"].max()) if len(mine) else 0
+
+        ctl = self._control_pd()
+        avail = ctl[
+            (ctl["job_name"] == src_job_name)
+            & (ctl["job_run_status"] == 1)
+            & (ctl["job_run_id"] > hwm)
+        ]
+        if not len(avail):
+            return HwmWindow(0, 0)
+        return HwmWindow(int(avail["job_run_id"].min()), int(avail["job_run_id"].max()))
 
     def record_consumed(
         self, job_name: str, run_id: int, src_job_name: str, window: HwmWindow
     ) -> None:
         """Advance the high-water mark: remember the window this run took."""
-        new = self.spark.createDataFrame(
+        src = self._src_pd()
+        new = pd.DataFrame(
             [
-                Row(
-                    job_name=job_name,
-                    job_run_id=run_id,
-                    src_job_name=src_job_name,
-                    min_src_run_id=window.min_run_id,
-                    max_src_run_id=window.max_run_id,
-                )
-            ],
-            SRC_SCHEMA,
+                {
+                    "job_name": job_name,
+                    "job_run_id": run_id,
+                    "src_job_name": src_job_name,
+                    "min_src_run_id": window.min_run_id,
+                    "max_src_run_id": window.max_run_id,
+                }
+            ]
         )
-        self._overwrite(
-            self.control_src().unionByName(new), "job_process_control_src"
-        )
+        merged = new if not len(src) else pd.concat([src, new], ignore_index=True)
+        self._write_pd(merged, "job_process_control_src", _SRC_PA)
 
 
 def apply_window(df: DataFrame, window: HwmWindow, run_col: str = "job_run_id") -> DataFrame:

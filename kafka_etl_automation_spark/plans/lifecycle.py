@@ -373,6 +373,73 @@ def ctl_hwm_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "window_seq int, min_run_id long, max_run_id long")
 
 
+@register(
+    "pipeline_incremental_load",
+    """SELECT CAST(1 AS BIGINT) AS load_run_id,
+              CAST(1 AS BIGINT) AS window_min, CAST(2 AS BIGINT) AS window_max,
+              COUNT(*) AS n_rows
+       FROM orders WHERE (o_orderkey % 4) + 1 <= 2
+       UNION ALL
+       SELECT 2, 3, 4, COUNT(*)
+       FROM orders WHERE (o_orderkey % 4) + 1 >= 3""",
+)
+def pipeline_incremental_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full conform->staging lifecycle end-to-end
+    (KafkaScript_ConformToStaging.sh): orders stamped with synthetic source
+    run ids 1..4; source runs land in two waves; each loader pass consumes
+    exactly the new window, lands a run partition, passes DQ, and advances
+    the high-water mark. Returns per-load (run, window, landed rows)."""
+    from kafka_etl_automation_spark.transform import incremental_load
+
+    root = _tmp("pipe")
+    reg = JobRegistry(spark, os.path.join(root, "ctl"))
+    conform = load_table(spark, sf_dir, "orders").withColumn(
+        "job_run_id", (F.col("o_orderkey") % 4 + 1).cast("long")
+    )
+    staging = os.path.join(root, "staging")
+
+    def src_runs(n):
+        for _ in range(n):
+            r = reg.start_run("conform_job")
+            reg.finish_run("conform_job", r, status=1)
+
+    results = []
+    src_runs(2)  # wave 1: source runs 1, 2
+    results.append(
+        incremental_load(
+            spark, reg, "staging_job", "conform_job", conform, "job_run_id",
+            staging, audit_path=os.path.join(root, "audit"),
+        )
+    )
+    src_runs(2)  # wave 2: source runs 3, 4
+    results.append(
+        incremental_load(
+            spark, reg, "staging_job", "conform_job", conform, "job_run_id",
+            staging, audit_path=os.path.join(root, "audit"),
+        )
+    )
+    assert all(r is not None and r.dq_passed for r in results)
+    # third pass must short-circuit
+    assert (
+        incremental_load(
+            spark, reg, "staging_job", "conform_job", conform, "job_run_id", staging
+        )
+        is None
+    )
+    rows = [
+        Row(
+            load_run_id=r.run_id,
+            window_min=r.window.min_run_id,
+            window_max=r.window.max_run_id,
+            n_rows=r.records,
+        )
+        for r in results
+    ]
+    return spark.createDataFrame(
+        rows, "load_run_id long, window_min long, window_max long, n_rows long"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming: S2/T3/T4 contract as an official entry
 # ---------------------------------------------------------------------------

@@ -57,6 +57,35 @@ class IngestResult:
     bronze_dirs: list[str]
 
 
+def _append_audit_row(audit_path: str, row: dict) -> None:
+    """Append one audit row as a small parquet file via pyarrow directly —
+    a single-row metadata write does not need a Spark job (saves ~1-2s of
+    job overhead per micro-batch; the reference's equivalent is one Oracle
+    INSERT). Schema matches AUDIT_SCHEMA so spark.read sees one table."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(audit_path, exist_ok=True)
+    table = pa.table(
+        {
+            "topic": pa.array([row["topic"]], pa.string()),
+            "partition": pa.array([row["partition"]], pa.int32()),
+            "batch_id": pa.array([row["batch_id"]], pa.int64()),
+            "from_offset": pa.array([row["from_offset"]], pa.int64()),
+            "until_offset": pa.array([row["until_offset"]], pa.int64()),
+            "n_records": pa.array([row["n_records"]], pa.int64()),
+            "file_name": pa.array([row["file_name"]], pa.string()),
+            "file_processing_status": pa.array(
+                [row["file_processing_status"]], pa.int32()
+            ),
+            "batch_seconds": pa.array([row["batch_seconds"]], pa.float64()),
+        }
+    )
+    pq.write_table(table, os.path.join(audit_path, f"audit-{uuid.uuid4().hex}.parquet"))
+
+
 def kafka_stream_source(
     spark: SparkSession, brokers: str, topic: str
 ) -> DataFrame:
@@ -142,23 +171,20 @@ def run_file_ingest(
             file_name, status = batch_dir, 1
         state["batches"] += 1
         state["records"] += n
-        audit_row = spark.createDataFrame(
-            [
-                (
-                    topic,
-                    partition,
-                    int(batch_id),
-                    None if n == 0 else int(stats["lo"]),
-                    None if n == 0 else int(stats["hi"]),
-                    n,
-                    file_name,
-                    status,
-                    float(time.time() - t0),
-                )
-            ],
-            AUDIT_SCHEMA,
+        _append_audit_row(
+            audit_path,
+            {
+                "topic": topic,
+                "partition": partition,
+                "batch_id": int(batch_id),
+                "from_offset": None if n == 0 else int(stats["lo"]),
+                "until_offset": None if n == 0 else int(stats["hi"]),
+                "n_records": n,
+                "file_name": file_name,
+                "file_processing_status": status,
+                "batch_seconds": float(time.time() - t0),
+            },
         )
-        audit_row.coalesce(1).write.mode("append").parquet(audit_path)
 
     query = (
         stream.writeStream.foreachBatch(handle_batch)

