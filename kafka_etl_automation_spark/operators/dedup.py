@@ -74,8 +74,22 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _fanout_rebalance(df: DataFrame) -> DataFrame:
+    """Scale parallelism UP before a CPU-multiplying stage (shingle/token
+    explode ~100x the row count and hashes every shingle). A small parquet
+    input scans as few partitions (one file => one task), which would
+    single-thread the whole pipeline; round-robin repartition to the
+    cluster's core count first. Guarded: never reduces partitioning, so a
+    100 TB corpus that already scans wide passes through untouched."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    return df.select(
+    return _fanout_rebalance(df).select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("sh")
     )
 
@@ -129,13 +143,21 @@ def minhash_signatures(
     num_hashes: int = 64,
 ) -> DataFrame:
     """MinHash signature per document: sig_j = min over shingles of
-    xxhash64(j, shingle). Seeded literals -> reproducible. One explode +
-    one groupBy; the k mins aggregate map-side, so the shuffle carries one
-    row per document."""
-    ex = _exploded_shingles(df, text_col, id_col, n)
+    hash_j(shingle). Seeded literals -> reproducible. One explode + one
+    groupBy; the k mins aggregate map-side, so the shuffle carries one row
+    per document.
+
+    Each shingle string is hashed ONCE (xxhash64), then the k per-seed
+    hashes derive from that 64-bit value — rehashing a fixed-width long per
+    seed instead of the string is ~2x cheaper on the dominant stage while
+    keeping the same independence structure (seeded re-hash of a uniform
+    64-bit input)."""
+    ex = _exploded_shingles(df, text_col, id_col, n).withColumn(
+        "h", F.xxhash64(F.col("sh"))
+    )
     return ex.groupBy("id").agg(
         *[
-            F.min(F.xxhash64(F.lit(j), F.col("sh"))).alias(f"mh{j}")
+            F.min(F.xxhash64(F.lit(j), F.col("h"))).alias(f"mh{j}")
             for j in range(num_hashes)
         ]
     )
@@ -159,7 +181,14 @@ def minhash_lsh_pairs(
       signatures -> band keys -> bucket self-join (skew-capped at
       max_bucket) -> exact-Jaccard verification on candidates only.
     """
+    from pyspark import StorageLevel
+
     rows = num_hashes // bands
+    # The banded-signature and candidate frames feed 3-4 plan branches each
+    # (bucket sizing, both self-join sides, verification); without a persist
+    # every branch recomputes the full signature pass. These intermediates
+    # are compact — one row per doc (signatures) / per candidate pair — so
+    # MEMORY_AND_DISK persists a sliver of the corpus size at any scale.
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
 
     band_structs = [
@@ -171,9 +200,11 @@ def minhash_lsh_pairs(
         )
         for bid in range(bands)
     ]
-    banded = sig.select(
-        "id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    banded = (
+        sig.select("id", F.explode(F.array(*band_structs)).alias("bb"))
+        .select("id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     # Skew guard: drop degenerate buckets (e.g. empty-text signature) that
     # would go quadratic; at 100 TB this is the difference between a bounded
@@ -193,6 +224,7 @@ def minhash_lsh_pairs(
         )
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     # Exact verification restricted to candidates (semi-join prunes the
@@ -200,7 +232,11 @@ def minhash_lsh_pairs(
     ids = cand.select(F.col("id_a").alias("id")).unionByName(
         cand.select(F.col("id_b").alias("id"))
     ).distinct()
-    ex = _exploded_shingles(df, text_col, id_col, n).join(ids, "id", "left_semi")
+    ex = (
+        _exploded_shingles(df, text_col, id_col, n)
+        .join(ids, "id", "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
@@ -229,7 +265,7 @@ def simhash(
     """64-bit SimHash per document: each token votes ±1 on every bit of its
     xxhash64; the fingerprint takes the majority sign. Pure expression
     aggregation (bits x conditional sums), map-side combinable."""
-    ex = df.select(
+    ex = _fanout_rebalance(df).select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     votes = ex.groupBy("id").agg(

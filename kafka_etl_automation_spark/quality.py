@@ -142,6 +142,21 @@ def run_suite(checks: Iterable[DataFrame]) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), checks[1:], checks[0])
 
 
+def artifact_check(spark, path: str, name: str = "artifact_check") -> DataFrame:
+    """Q6: artifact-existence validation — the reference asserts expected
+    HDFS dirs/files exist by name (Kafka_ArrivalToConform.sh:311-332,
+    KafkaScript_ConformToStaging.sh:151-153). metric_a=1 if present."""
+    import os
+
+    exists = os.path.exists(path)
+    return spark.range(1).select(
+        F.lit(name).alias("check_name"),
+        F.lit(PASS if exists else FAIL).alias("status"),
+        F.lit(1 if exists else 0).cast("long").alias("metric_a"),
+        F.lit(0).cast("long").alias("metric_b"),
+    )
+
+
 def append_audit(results: DataFrame, path: str, run_id: int | None = None) -> None:
     """S9 audit-log sink: append PASS/FAIL rows stamped with the current
     timestamp (F5 ``sysdate``) and the run id — the ``*_TEST_LOG`` tables

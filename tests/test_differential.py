@@ -1,0 +1,67 @@
+"""In-pytest differential checks: a fast subset of the DuckDB-oracle gate
+at sf0.001, so `pytest tests/` alone catches oracle drift without the
+driver harness. Full board: tools/check_correctness.py at sf0.01."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+from tests.conftest import SF_SMALL
+
+FAST_SUBSET = [
+    "flagship_dim_customer",
+    "a3_pricing_summary",
+    "a9_count_minus",
+    "w1_latest_per_group",
+    "e1_minus_symdiff",
+    "f9_templated_query",
+    "q1_count_check",
+    "q3_dup_check",
+    "ext_exact_dedup",
+    "ext_text_stats",
+    "ext_cosine_topk",
+    "mm_frame_sample",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{SF_SMALL}/{name}.parquet'"
+        )
+    return con
+
+
+def canon(df):
+    cols = sorted(df.columns)
+    df = df[cols]
+
+    def cell(v):
+        import pandas as pd
+
+        if v is None or v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
+            return "<NULL>"
+        if isinstance(v, float):
+            return repr(v)
+        if isinstance(v, pd.Timestamp):
+            return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+        return str(v)
+
+    return sorted(tuple(cell(v) for v in row) for row in df.itertuples(index=False))
+
+
+@pytest.mark.parametrize("name", FAST_SUBSET)
+def test_query_matches_oracle(spark, duck, name):
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    sdf = qs[name](spark, SF_SMALL).toPandas()
+    ddf = duck.execute(oracles[name]).df()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert canon(sdf) == canon(ddf)

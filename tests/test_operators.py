@@ -40,7 +40,9 @@ def test_minhash_lsh_precision(spark):
         (4, "a"),  # short doc: no shingles at n=3
     ]
     df = docs_df(spark, rows)
-    pairs = dedup.minhash_lsh_pairs(df, n=3, num_hashes=16, bands=4, threshold=0.5)
+    # 32 hashes / 16 bands -> 2 rows per band: detection probability for a
+    # j~0.78 pair is 1-(1-0.78^2)^16 > 0.9999 — recall effectively certain
+    pairs = dedup.minhash_lsh_pairs(df, n=3, num_hashes=32, bands=16, threshold=0.5)
     exact = {
         (r.id_a, r.id_b): r.jaccard
         for r in dedup.ngram_jaccard_pairs(df, n=3, threshold=0.0).collect()

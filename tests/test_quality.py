@@ -57,6 +57,12 @@ def test_null_check_schema_driven(spark):
     assert quality.null_offenders(df, ["v"]).count() == 1
 
 
+def test_artifact_check(spark, tmp_root):
+    assert quality.artifact_check(spark, tmp_root).first().status == "PASS"
+    missing = quality.artifact_check(spark, tmp_root + "/nope", "f1").first()
+    assert (missing.status, missing.check_name) == ("FAIL", "f1")
+
+
 def test_suite_and_audit_sink(spark, tmp_root):
     a = spark.range(5)
     suite = quality.run_suite(
