@@ -43,6 +43,11 @@ BENCH_QUERIES = [
     "ext_quality_score",
     "ext_cosine_topk",
     "ext_lsh_cosine_topk",
+    "ext_embedding_near_dup",
+    "ext_ivf_topk",
+    "ext_token_counts",
+    "ext_sessionize",
+    "ext_windowed_counts",
     "mm_image_features",
     "mm_frame_sample",
     "stream_file_ingest",

@@ -1,0 +1,197 @@
+"""Sessionization + event-time windowed aggregation over event streams.
+
+The reference's streaming is processing-time micro-batch only (SURVEY
+§2.10); these operators are the event-time extensions a training-data /
+analytics pipeline needs, built on the Spark primitives made for them:
+
+- ``sessionize``: gap-based sessions as a BATCH plan — one window pass
+  (lag -> gap flag -> running sum = session id), then one aggregation.
+  Two shuffles total, both keyed on the user — scale-safe.
+- ``windowed_counts``: tumbling event-time windows via ``F.window``.
+- ``stream_windowed_counts``: the same aggregation as a Structured
+  Streaming query with a watermark — late data beyond the watermark is
+  dropped, state is bounded. availableNow + complete/append modes in tests.
+- ``stream_sessionize``: custom stateful streaming sessionization with
+  ``applyInPandasWithState`` (GroupState timeout) — the
+  arbitrary-stateful-operator pattern for semantics F.window can't express.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessions per user: a new session starts when the time
+    since the previous event exceeds the gap. Returns one row per session
+    (user, session_seq, session_start, session_end, n_events).
+
+    Plan: lag over (user ORDER BY ts) -> boundary flag -> running SUM =
+    session sequence -> groupBy(user, seq). Both windows and the final agg
+    hash-partition on the user column, so the whole operator is one shuffle
+    of the events plus map-side work — no driver state, no iteration.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col("event_id"))
+    gap = F.lit(gap_minutes * 60)
+    flagged = events.withColumn(
+        "new_session",
+        F.when(
+            F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+            > gap,
+            1,
+        )
+        .otherwise(0),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return flagged.groupBy(user_col, "session_seq").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def windowed_counts(
+    events: DataFrame, window_minutes: int = 60, ts_col: str = "ts"
+) -> DataFrame:
+    """Tumbling event-time windows (batch form): per-window event counts and
+    value sum. Same F.window expression the streaming flavor uses."""
+    return (
+        events.groupBy(F.window(F.col(ts_col), f"{window_minutes} minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_windowed_counts(
+    stream: DataFrame,
+    window_minutes: int = 60,
+    watermark_minutes: int = 120,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming flavor: watermarked tumbling-window aggregation. The
+    watermark bounds state (windows older than max(event_time) - watermark
+    are finalized and evicted) and defines the late-data cutoff — Spark's
+    native answer to the late-arrival problem the reference never handles."""
+    return (
+        stream.withWatermark(ts_col, f"{watermark_minutes} minutes")
+        .groupBy(F.window(F.col(ts_col), f"{window_minutes} minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SESSION_STATE_SCHEMA = "start long, end long, n long"
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+
+
+def stream_sessionize(
+    stream: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    timeout_seconds: int | None = None,
+):
+    """Custom stateful streaming sessionization via applyInPandasWithState:
+    per-user GroupState holds the open session (start, end, count); a
+    processing-time timeout flushes sessions idle longer than the gap.
+    Emits CLOSED sessions only. This is the arbitrary-stateful-operator
+    pattern (state schema + timeout) for semantics the built-in windowed
+    aggs can't express.
+
+    ``timeout_seconds`` overrides the state-flush timeout (default: the
+    gap). Note availableNow triggers keep running cleanup batches until
+    pending timeouts fire, so tests pass a small value to drain promptly.
+    """
+    gap_s = gap_minutes * 60
+    flush_ms = (timeout_seconds if timeout_seconds is not None else gap_s) * 1000
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                start, end, n = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user],
+                        "session_start": [pd.Timestamp(start, unit="s")],
+                        "session_end": [pd.Timestamp(end, unit="s")],
+                        "n_events": [n],
+                    }
+                )
+            return
+
+        ts = (
+            pd.concat([p[ts_col] for p in pdfs])
+            .astype("int64")
+            .floordiv(1_000_000_000)
+            .sort_values()
+        )
+        closed = []
+        if state.exists:
+            start, end, n = state.get
+        else:
+            start, end, n = None, None, 0
+        for t in ts:
+            t = int(t)
+            if start is None:
+                start, end, n = t, t, 1
+            elif t - end > gap_s:
+                closed.append((start, end, n))
+                start, end, n = t, t, 1
+            else:
+                end, n = t, n + 1
+        state.update((start, end, n))
+        state.setTimeoutDuration(flush_ms)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="s") for s, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="s") for _, e, _ in closed],
+                    "n_events": [n for _, _, n in closed],
+                }
+            )
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

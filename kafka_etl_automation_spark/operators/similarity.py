@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from kafka_etl_automation_spark.operators.dedup import _fanout_rebalance
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -60,8 +62,159 @@ def cosine_topk(
         )
     )
     scored = (
-        embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
+        _fanout_rebalance(embeddings)
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
         .join(q, F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("vec"), F.col("q_vec"))
+                / (_norm(F.col("vec")) * _norm(F.col("q_vec"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a, b), a < b, with
+    cosine >= threshold — the semantic-dedup primitive for training data.
+
+    Exact all-pairs via a self-join on a < b: O(N^2) dot products, the
+    small-corpus baseline and the verifier for the LSH-bucketed variant
+    (``lsh_embedding_near_dup_pairs``), exactly as ngram_jaccard_pairs is
+    the verifier for minhash_lsh_pairs. Do not run this shape at 100 TB.
+    """
+    # fan-out rebalance the probe side: a small single-file scan would
+    # otherwise run the O(N^2) dot products on one task
+    a = _fanout_rebalance(embeddings).select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def lsh_embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The 100 TB path for semantic dedup: hyperplane-LSH bucket the
+    vectors, generate candidate pairs only inside buckets (keyed join, no
+    cross product), then exact-cosine verify. High-cosine pairs land in the
+    same bucket with probability (1 - theta/pi)^planes, so precision is
+    exact and recall is the tunable part (more tables / fewer planes)."""
+    sig = hyperplane_signatures(embeddings, num_planes, dim, seed, id_col, vec_col)
+    base = embeddings.join(sig, id_col)
+    x = base.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    y = base.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    return (
+        x.join(y, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")  # one bucket per vector -> pairs unique
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: partition vectors into inverted-file
+    cells around centroid vectors, search only the query's ``n_probe``
+    nearest cells.
+
+    Centroids here are the first ``n_cells`` vectors by id — deterministic
+    and oracle-reproducible; a production build would swap in k-means
+    centroids (same plan shape: the assignment join is broadcast-centroid
+    keyed either way). Scale: each vector is scored against n_cells
+    centroids once (broadcast), then the search join is keyed on cell id —
+    never a full cross product; recall < 1 by construction (probe more
+    cells to raise it)."""
+    centroids = F.broadcast(
+        embeddings.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec")
+        )
+    )
+
+    def nearest_cells(df: DataFrame, id_out: str, vec_out: str, n: int) -> DataFrame:
+        scored = df.join(centroids, F.lit(True)).withColumn(
+            "csim",
+            F.round(
+                _dot(F.col(vec_out), F.col("cvec"))
+                / (_norm(F.col(vec_out)) * _norm(F.col("cvec"))),
+                6,
+            ),
+        )
+        w = Window.partitionBy(id_out).orderBy(F.desc("csim"), F.asc("cell"))
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= n)
+            .select(id_out, vec_out, "cell")
+        )
+
+    base = nearest_cells(
+        embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")),
+        "neighbor_id",
+        "vec",
+        1,  # each vector lives in exactly its nearest cell
+    )
+    q = nearest_cells(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ),
+        "query_id",
+        "q_vec",
+        n_probe,
+    )
+    scored = (
+        base.join(q, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
             F.round(
@@ -106,7 +259,11 @@ def hyperplane_signatures(
                 {id_col: pdf[id_col].to_numpy(), "bucket": bits @ weights}
             )
 
-    return embeddings.select(id_col, vec_col).mapInPandas(signer, out_schema)
+    return (
+        _fanout_rebalance(embeddings)
+        .select(id_col, vec_col)
+        .mapInPandas(signer, out_schema)
+    )
 
 
 def lsh_cosine_topk(

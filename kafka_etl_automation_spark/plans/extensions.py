@@ -225,6 +225,184 @@ def ext_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, queries, k=5)
 
 
+def _ddot(x: str, y: str) -> str:
+    return (
+        f"list_reduce([{x}[i] * {y}[i] FOR i IN range(1, len({x})+1)],"
+        " (p, q) -> p + q)"
+    )
+
+
+def _dnrm(x: str) -> str:
+    return f"sqrt({_ddot(x, x)})"
+
+
+_NEAR_DUP_ORACLE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_ddot('a.e', 'b.e')} / ({_dnrm('a.e')} * {_dnrm('b.e')}), 6)
+         AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round({_ddot('a.e', 'b.e')} / ({_dnrm('a.e')} * {_dnrm('b.e')}), 6) >= 0.4
+"""
+
+
+@register("ext_embedding_near_dup", _NEAR_DUP_ORACLE)
+def ext_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact all-pairs baseline
+    (operators.similarity.embedding_near_dup_pairs) — the verifier for the
+    LSH-bucketed scale path below."""
+    t = load_tables(spark, sf_dir, names=("embeddings",))
+    return similarity.embedding_near_dup_pairs(t["embeddings"], threshold=0.4)
+
+
+@register("ext_lsh_embedding_near_dup")  # bucketed recall<1 -> rows-only
+def ext_lsh_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup at scale: hyperplane-LSH bucketed near-dup pairs with
+    exact-cosine verification (operators.similarity.
+    lsh_embedding_near_dup_pairs); precision invariant (output is a subset
+    of ext_embedding_near_dup) asserted in tests."""
+    t = load_tables(spark, sf_dir, names=("embeddings",))
+    return similarity.lsh_embedding_near_dup_pairs(
+        t["embeddings"], threshold=0.4, num_planes=6
+    )
+
+
+_IVF_ORACLE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c AS (SELECT vec_id AS cell, e AS ce FROM v WHERE vec_id < 16),
+asg AS (
+  SELECT vec_id AS neighbor_id, e, cell FROM (
+    SELECT v.vec_id, v.e, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round({_ddot('v.e', 'c.ce')}
+                            / ({_dnrm('v.e')} * {_dnrm('c.ce')}), 6) DESC,
+                      c.cell ASC) AS crank
+    FROM v, c) WHERE crank = 1),
+qp AS (
+  SELECT vec_id AS query_id, e AS qe, cell FROM (
+    SELECT v.vec_id, v.e, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round({_ddot('v.e', 'c.ce')}
+                            / ({_dnrm('v.e')} * {_dnrm('c.ce')}), 6) DESC,
+                      c.cell ASC) AS crank
+    FROM v, c WHERE v.vec_id < 8) WHERE crank <= 2),
+scored AS (
+  SELECT qp.query_id, a.neighbor_id,
+         round({_ddot('a.e', 'qp.qe')} / ({_dnrm('a.e')} * {_dnrm('qp.qe')}), 6)
+           AS cosine
+  FROM asg a JOIN qp ON a.cell = qp.cell AND a.neighbor_id <> qp.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@register("ext_ivf_topk", _IVF_ORACLE)
+def ext_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (operators.similarity.ivf_topk): inverted-file
+    cells around deterministic centroid vectors, 2-probe search. Fully
+    deterministic construction -> real hash-matched oracle, unlike the
+    probabilistic LSH variant."""
+    t = load_tables(spark, sf_dir, names=("embeddings",))
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=2)
+
+
+_TOKEN_COUNT_ORACLE = f"""
+WITH n AS (SELECT doc_id, {_NORM} AS nt FROM documents)
+SELECT doc_id,
+       len(string_split(nt, ' ')) AS n_tokens,
+       len(string_split(trim(regexp_replace(regexp_replace(lower(nt),
+           '([0-9]+|[^a-z0-9 ]+)', ' \\1 ', 'g'), ' +', ' ', 'g')), ' '))
+         AS n_bpe_ish_tokens
+FROM n
+"""
+
+
+@register("ext_token_counts", _TOKEN_COUNT_ORACLE)
+def ext_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways (operators.text): whitespace tokens and the
+    BPE-ish pre-tokenizer estimate (regex split on letter/digit/punct
+    transitions) — the budget signal for training-data curation."""
+    t = load_tables(spark, sf_dir, names=("documents",))
+    d = t["documents"]
+    return d.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        text.bpe_ish_token_count("text").alias("n_bpe_ish_tokens"),
+    )
+
+
+_SESSION_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch(ts) AS t FROM events
+), flagged AS (
+  SELECT user_id, t,
+         CASE WHEN t - LAG(t) OVER (PARTITION BY user_id
+                                    ORDER BY t, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+), seq AS (
+  SELECT user_id, t,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       to_timestamp(MIN(t)) AS session_start,
+       to_timestamp(MAX(t)) AS session_end,
+       COUNT(*) AS n_events
+FROM seq GROUP BY user_id, session_seq
+"""
+
+
+@register("ext_sessionize", _SESSION_ORACLE)
+def ext_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization, batch form (operators.sessions.sessionize,
+    30-minute gap) — lag -> boundary -> running-sum session ids, one
+    user-keyed shuffle. The streaming twin (applyInPandasWithState) is
+    exercised in tests/test_sessions.py."""
+    from kafka_etl_automation_spark.operators import sessions
+
+    t = load_tables(spark, sf_dir, names=("events",))
+    out = sessions.sessionize(t["events"], gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.col("session_seq").cast("long").alias("session_seq"),
+        "session_start",
+        "session_end",
+        "n_events",
+    )
+
+
+_WINDOWED_ORACLE = """
+SELECT time_bucket(INTERVAL 60 MINUTES, ts) AS window_start,
+       time_bucket(INTERVAL 60 MINUTES, ts) + INTERVAL 60 MINUTES AS window_end,
+       COUNT(*) AS n_events,
+       round(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+@register("ext_windowed_counts", _WINDOWED_ORACLE)
+def ext_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows, batch form (operators.sessions.
+    windowed_counts). The watermarked streaming twin runs in
+    tests/test_sessions.py with availableNow."""
+    from kafka_etl_automation_spark.operators import sessions
+
+    t = load_tables(spark, sf_dir, names=("events",))
+    return sessions.windowed_counts(t["events"], window_minutes=60)
+
+
 @register("ext_lsh_cosine_topk")  # single-probe LSH: recall<1 -> rows-only
 def ext_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-5 via hyperplane-LSH bucketing

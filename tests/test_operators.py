@@ -128,6 +128,53 @@ def test_cosine_topk_exact(spark):
     assert out[0].cosine > 0.99
 
 
+def test_embedding_near_dup_and_lsh_precision(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.99, 0.1, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+            (4, [-1.0, 0.1, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in similarity.embedding_near_dup_pairs(emb, threshold=0.9).collect()
+    }
+    assert set(exact) == {(1, 2)}
+    # LSH variant: every emitted pair must appear in the exact answer with
+    # the identical score (precision invariant; recall is tunable)
+    lsh = similarity.lsh_embedding_near_dup_pairs(
+        emb, threshold=0.9, num_planes=2, dim=3
+    ).collect()
+    for r in lsh:
+        assert exact[(r.id_a, r.id_b)] == r.cosine
+
+
+def test_ivf_topk_subset_of_bruteforce(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf = similarity.ivf_topk(emb, q, k=3, n_cells=4, n_probe=2)
+    brute = similarity.cosine_topk(emb, q, k=30)
+    exact_scores = {
+        (r.query_id, r.neighbor_id): r.cosine for r in brute.collect()
+    }
+    rows = ivf.collect()
+    assert len(rows) > 0
+    for r in rows:
+        # every IVF hit carries the true cosine (approximation affects only
+        # which candidates are seen, never their scores)
+        assert exact_scores[(r.query_id, r.neighbor_id)] == r.cosine
+    per_q = {qid: [r for r in rows if r.query_id == qid] for qid in (0, 1, 2)}
+    assert all(len(v) <= 3 for v in per_q.values())
+
+
 def test_multimodal_image_features_checksum(spark):
     df = docs_df(spark, [(1, "abc"), (2, "")])
     feats = {r.doc_id: r for r in
