@@ -43,7 +43,9 @@ BENCH_QUERIES = [
     "ext_quality_score",
     "ext_cosine_topk",
     "ext_lsh_cosine_topk",
-    "ext_embedding_near_dup",
+    # NOT ext_embedding_near_dup: the exact all-pairs verifier is O(N^2) by
+    # design (correctness gate only); the deployable scale path is below.
+    "ext_lsh_embedding_near_dup",
     "ext_ivf_topk",
     "ext_token_counts",
     "ext_sessionize",
