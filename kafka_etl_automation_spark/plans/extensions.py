@@ -403,6 +403,44 @@ def ext_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.windowed_counts(t["events"], window_minutes=60)
 
 
+@register(
+    "ext_salted_agg",
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS sum_price,
+              MAX(o_totalprice) AS max_price
+       FROM orders GROUP BY o_custkey""",
+)
+def ext_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase aggregation (operators.skew.salted_agg):
+    partials on (key, salt) then merge on key. The oracle is the PLAIN
+    aggregation — salting must be result-invariant, which is exactly what
+    the hash check proves."""
+    from kafka_etl_automation_spark.operators import skew
+
+    t = load_tables(spark, sf_dir, names=("orders",))
+    o = t["orders"].withColumn(
+        "price_dec", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    out = skew.salted_aggregate(
+        o,
+        ["o_custkey"],
+        {
+            "n_orders": ("o_orderkey", "count"),
+            "sum_price": ("price_dec", "sum"),
+            "max_price": ("o_totalprice", "max"),
+        },
+        salt_col="o_orderkey",
+        buckets=16,
+    )
+    return out.select(
+        "o_custkey",
+        "n_orders",
+        F.col("sum_price").cast("double").alias("sum_price"),
+        "max_price",
+    )
+
+
 @register("ext_lsh_cosine_topk")  # single-probe LSH: recall<1 -> rows-only
 def ext_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-5 via hyperplane-LSH bucketing
