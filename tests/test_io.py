@@ -51,6 +51,17 @@ def test_write_conformed_layout(spark, tmp_root):
     )
 
 
+def test_write_conformed_rerun_idempotent(spark, tmp_root):
+    """Re-running the same day+file replaces its partition (dynamic
+    overwrite), never duplicates."""
+    path = os.path.join(tmp_root, "conformed")
+    kio.write_conformed(spark.range(4), path, run_id=1, source_file_name="f1")
+    kio.write_conformed(spark.range(6), path, run_id=2, source_file_name="f1")
+    back = spark.read.parquet(path)
+    assert back.count() == 6
+    assert back.select("create_job_run_id").distinct().collect()[0][0] == 2
+
+
 def test_run_template_parameterized(spark):
     df = spark.range(10)
     df.createOrReplaceTempView("nums")
