@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "m4_scd2_merge",
     "q2_data_diff",
     "pipeline_incremental_load",
+    "pipeline_arrival_to_dim",
     "ext_exact_dedup",
     "ext_minhash_lsh",
     "ext_simhash_pairs",
@@ -74,28 +75,33 @@ def main() -> int:
     qs["a1_minmax_nvl"](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         fn = qs.get(name)
         if fn is None:
             continue
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # one bad query must not zero the bench
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     return 0
 
 

@@ -480,6 +480,94 @@ def stream_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest.conservation_check(spark, audit, result.bronze_dirs)
 
 
+@register(
+    "pipeline_arrival_to_dim",
+    """SELECT 'bronze' AS layer, COUNT(*) AS n_rows FROM events
+       UNION ALL SELECT 'conformed', COUNT(*) FROM events
+       UNION ALL SELECT 'staging', COUNT(*) FROM events
+       UNION ALL SELECT 'dim_user', COUNT(DISTINCT user_id) FROM events""",
+)
+def pipeline_arrival_to_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship lifecycle end-to-end
+    (Insights_Kafka_ArrivalTo3NF.sh / SURVEY §3.1): micro-batch arrival ->
+    bronze (offset-audited) -> conformed (lineage-stamped partitioned sink)
+    -> staging (HWM incremental load + DQ) -> Type-2 user dimension. Record
+    conservation is asserted at every hop; the returned per-layer counts
+    hash-match the oracle."""
+    from kafka_etl_automation_spark.transform import incremental_load
+
+    root = _tmp("e2e")
+    events = load_table(spark, sf_dir, "events")
+
+    # 1. arrival -> bronze via the micro-batch file stream (S1/S2/S4, T2/T3)
+    src = os.path.join(root, "src")
+    events.repartitionByRange(4, "event_id").write.parquet(src)
+    res = ingest.run_file_ingest(
+        spark,
+        source_dir=src,
+        schema=events.schema,
+        bronze_base=os.path.join(root, "bronze"),
+        audit_path=os.path.join(root, "audit"),
+        checkpoint_dir=os.path.join(root, "ckpt"),
+        topic="events",
+        run_id=1,
+    )
+    audit = ingest.read_audit(spark, os.path.join(root, "audit"))
+    cons = ingest.conservation_check(spark, audit, res.bronze_dirs).first()
+    assert cons.status == "PASS", "arrival->bronze conservation failed"
+    bronze = spark.read.parquet(*res.bronze_dirs)
+
+    # 2. bronze -> conformed: lineage-stamped partitioned sink (S5)
+    from kafka_etl_automation_spark import io as kio
+
+    conformed_path = os.path.join(root, "conformed")
+    kio.write_conformed(bronze, conformed_path, run_id=1, source_file_name="events")
+    conformed = spark.read.parquet(conformed_path)
+
+    # 3. conformed -> staging: registered source run + HWM incremental load
+    reg = JobRegistry(spark, os.path.join(root, "ctl"))
+    r = reg.start_run("conform_job")
+    reg.finish_run("conform_job", r, status=1, records=res.n_records)
+    staging_path = os.path.join(root, "staging")
+    load = incremental_load(
+        spark, reg, "staging_job", "conform_job",
+        conformed.withColumn("job_run_id", F.col("create_job_run_id")),
+        "job_run_id", staging_path,
+        audit_path=os.path.join(root, "dq_audit"),
+    )
+    assert load is not None and load.dq_passed, "staging load failed DQ"
+    staging = scd.read_dim(spark, staging_path)
+
+    # 4. staging -> Type-2 user dimension (M4)
+    day1 = (
+        staging.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", "n_events")
+    )
+    dim = scd.scd_merge(None, day1, ["user_id"], "2", run_id=1)
+
+    counts = (
+        bronze.agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.lit("bronze").alias("layer"), "n_rows")
+        .unionByName(
+            conformed.agg(F.count(F.lit(1)).alias("n_rows")).select(
+                F.lit("conformed").alias("layer"), "n_rows"
+            )
+        )
+        .unionByName(
+            staging.agg(F.count(F.lit(1)).alias("n_rows")).select(
+                F.lit("staging").alias("layer"), "n_rows"
+            )
+        )
+        .unionByName(
+            scd.current_rows(dim)
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(F.lit("dim_user").alias("layer"), "n_rows")
+        )
+    )
+    return counts
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (binary payloads over mapInPandas)
 # ---------------------------------------------------------------------------
