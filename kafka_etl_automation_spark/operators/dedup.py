@@ -57,6 +57,22 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def shingle_hashes(col: Column | str, n: int = 3) -> Column:
+    """Distinct 64-bit hashes of word n-gram shingles, skipping string
+    construction: xxhash64 over the n token columns directly gives the same
+    information minhash needs at a fraction of the cost (no concat, no
+    string hashing). Collision probability at 64 bits is negligible for
+    signature purposes; exact verification still uses string shingles."""
+    t = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.xxhash64(*[F.element_at(t, (i + j).cast("int")) for j in range(n)]),
+    )
+    return F.array_distinct(
+        F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<long>"))
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups by md5 of normalized content.
 
@@ -147,13 +163,15 @@ def minhash_signatures(
     groupBy; the k mins aggregate map-side, so the shuffle carries one row
     per document.
 
-    Each shingle string is hashed ONCE (xxhash64), then the k per-seed
-    hashes derive from that 64-bit value — rehashing a fixed-width long per
-    seed instead of the string is ~2x cheaper on the dominant stage while
-    keeping the same independence structure (seeded re-hash of a uniform
-    64-bit input)."""
-    ex = _exploded_shingles(df, text_col, id_col, n).withColumn(
-        "h", F.xxhash64(F.col("sh"))
+    Shingle strings are never materialized here: shingle_hashes() hashes
+    the n token columns directly (one fixed-width hash per shingle), and
+    the k per-seed hashes derive from that 64-bit value — the same
+    independence structure (seeded re-hash of a uniform 64-bit input) at a
+    fraction of the string-building cost. Exact verification elsewhere
+    still uses real string shingles."""
+    ex = _fanout_rebalance(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_hashes(text_col, n)).alias("h"),
     )
     return ex.groupBy("id").agg(
         *[
