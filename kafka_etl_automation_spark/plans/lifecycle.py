@@ -481,6 +481,25 @@ def stream_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_kafka_roundtrip",
+    """SELECT event_id, user_id, event_type, value, props FROM events""",
+)
+def stream_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 record decode without a broker: events encoded into the exact
+    Kafka source schema (key/value binary, topic, partition, offset,
+    timestamp), then parsed back via from_json — the byte-for-byte wire
+    round-trip must reproduce the table."""
+    events = load_table(spark, sf_dir, "events")
+    typed = events.select("event_id", "user_id", "event_type", "value", "props")
+    wire = ingest.to_kafka_shape(
+        events, key_col="user_id", topic="events", offset_col="event_id",
+        ts_col="ts",
+    )
+    parsed = ingest.parse_kafka_records(wire, typed.schema)
+    return parsed
+
+
+@register(
     "pipeline_arrival_to_dim",
     """SELECT 'bronze' AS layer, COUNT(*) AS n_rows FROM events
        UNION ALL SELECT 'conformed', COUNT(*) FROM events

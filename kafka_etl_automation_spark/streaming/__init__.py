@@ -7,6 +7,8 @@ from kafka_etl_automation_spark.streaming.ingest import (  # noqa: F401
     contiguity_violations,
     kafka_batch_source,
     kafka_stream_source,
+    parse_kafka_records,
     read_audit,
     run_file_ingest,
+    to_kafka_shape,
 )

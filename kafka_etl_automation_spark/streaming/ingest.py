@@ -119,6 +119,43 @@ def kafka_batch_source(
     )
 
 
+def to_kafka_shape(
+    df: DataFrame,
+    key_col: str,
+    topic: str,
+    offset_col: str,
+    ts_col: str,
+    partition_count: int = 4,
+) -> DataFrame:
+    """Encode a typed frame into the exact schema a Kafka source yields
+    (key/value binary, topic, partition, offset, timestamp) — value is the
+    row as JSON, the reference's wire format. Used to exercise the
+    parse path without a broker; on a cluster the real source produces the
+    identical shape."""
+    payload = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    return df.select(
+        F.col(key_col).cast("string").cast("binary").alias("key"),
+        payload.cast("binary").alias("value"),
+        F.lit(topic).alias("topic"),
+        F.pmod(F.col(key_col).cast("long"), F.lit(partition_count))
+        .cast("int")
+        .alias("partition"),
+        F.col(offset_col).cast("long").alias("offset"),
+        F.col(ts_col).alias("timestamp"),
+    )
+
+
+def parse_kafka_records(raw: DataFrame, value_schema) -> DataFrame:
+    """S1 decode: JSON value bytes -> typed columns
+    (``from_json(value.cast(string))``). Works identically on the batch
+    offset-bounded read, the streaming source, and the synthetic shape
+    above; corrupt records come back as NULL structs (filterable to a
+    dead-letter sink rather than failing the batch)."""
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), value_schema).alias("v")
+    ).select("v.*")
+
+
 def run_file_ingest(
     spark: SparkSession,
     source_dir: str,

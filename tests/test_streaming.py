@@ -75,6 +75,23 @@ def test_empty_batch_suppression(spark, tmp_root):
     assert all(r.file_processing_status == 0 and r.file_name == "" for r in rows)
 
 
+def test_kafka_shape_roundtrip_and_corrupt_records(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.0)], "event_id long, kind string, v double"
+    )
+    wire = ingest.to_kafka_shape(
+        df.withColumn("ts", F.current_timestamp()),
+        key_col="event_id", topic="t", offset_col="event_id", ts_col="ts",
+    )
+    assert set(wire.columns) == {"key", "value", "topic", "partition", "offset", "timestamp"}
+    back = ingest.parse_kafka_records(wire, df.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    # corrupt value bytes -> NULL struct row, not a job failure
+    corrupt = wire.withColumn("value", F.lit(b"not json"))
+    parsed = ingest.parse_kafka_records(corrupt, df.schema)
+    assert parsed.filter("event_id IS NULL").count() == 2
+
+
 def test_checkpoint_no_reprocessing(spark, tmp_root):
     """S2/T2: a second drain over the same checkpoint consumes nothing new
     until new files arrive — Structured Streaming's offset bookkeeping."""
