@@ -119,6 +119,27 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def redact(col: Column | str) -> Column:
+    """Training-data scrubbing: mask email addresses and long digit runs
+    (the cheap regex tier in front of model-based PII detection). Pure
+    regexp_replace chain — engine-portable and one projection pass."""
+    c = F.col(col) if isinstance(col, str) else col
+    no_email = F.regexp_replace(
+        c, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+    )
+    return F.regexp_replace(no_email, r"\d{6,}", "<NUM>")
+
+
+def hash_split(col: Column | str, train_pct: int = 90) -> Column:
+    """Deterministic train/eval split assignment: md5 of the content's
+    first 8 hex chars mod 100. Content-keyed (not row-position-keyed), so
+    the split survives repartitioning, dedup reordering, and re-crawls —
+    and any engine can reproduce it (md5 is portable; xxhash is not)."""
+    c = F.col(col) if isinstance(col, str) else col
+    bucket = F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % 100
+    return F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("eval"))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content fingerprint: md5 over normalized text plus a 64-bit rolling
     xxhash — the join key for exact dedup and incremental re-crawl diffing."""

@@ -404,6 +404,47 @@ def ext_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_redact",
+    r"""SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                 '\d{6,}', '<NUM>', 'g') AS redacted
+        FROM documents""",
+)
+def ext_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scrubbing tier (operators.text.redact): emails + long digit
+    runs masked, one projection pass."""
+    t = load_tables(spark, sf_dir, names=("documents",))
+    return t["documents"].select("doc_id", text.redact("text").alias("redacted"))
+
+
+@register(
+    "ext_hash_split",
+    """WITH b AS (
+         SELECT doc_id,
+                CAST(('0x' || substring(md5(text), 1, 8))::BIGINT % 100
+                     AS BIGINT) AS bucket
+         FROM documents)
+       SELECT CASE WHEN bucket < 90 THEN 'train' ELSE 'eval' END AS split,
+              COUNT(*) AS n_docs
+       FROM b GROUP BY 1""",
+)
+def ext_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-keyed train/eval split
+    (operators.text.hash_split): md5-bucketed so assignment survives
+    repartitioning and re-crawls; counts per split checked vs oracle."""
+    t = load_tables(spark, sf_dir, names=("documents",))
+    return (
+        t["documents"]
+        .select(text.hash_split("text", 90).alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
     "ext_salted_agg",
     """SELECT o_custkey, COUNT(*) AS n_orders,
               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

@@ -175,6 +175,25 @@ def test_ivf_topk_subset_of_bruteforce(spark):
     assert all(len(v) <= 3 for v in per_q.values())
 
 
+def test_redact(spark):
+    df = docs_df(spark, [(1, "mail me at a.b@example.com or call 12345678 x")])
+    out = df.select(text.redact("text").alias("r")).first().r
+    assert out == "mail me at <EMAIL> or call <NUM> x"
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    df = docs_df(spark, [(i, f"document body {i}") for i in range(200)])
+    a = df.select("doc_id", text.hash_split("text").alias("s")).collect()
+    b = (
+        df.repartition(7)
+        .select("doc_id", text.hash_split("text").alias("s"))
+        .collect()
+    )
+    assert {(r.doc_id, r.s) for r in a} == {(r.doc_id, r.s) for r in b}
+    frac = sum(1 for r in a if r.s == "train") / len(a)
+    assert 0.8 < frac < 1.0  # ~90% train
+
+
 def test_multimodal_image_features_checksum(spark):
     df = docs_df(spark, [(1, "abc"), (2, "")])
     feats = {r.doc_id: r for r in
