@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis): invariants that must hold for ANY
+input, mirroring the reference's metadata-derived assertion style
+(SURVEY §5.3 — checks generated from structure, not hand-picked cases).
+
+Examples are kept small (local Spark round-trips are ~100ms each); the
+value is the generator exploring edge shapes (empty frames, all-duplicate
+keys, null attributes, unicode text) that hand-written cases miss.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kafka_etl_automation_spark import quality, scd
+from kafka_etl_automation_spark.operators import dedup
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+texts = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FF),
+    max_size=40,
+)
+# unique keys: scd_merge's dropDuplicates picks an arbitrary row per key,
+# so duplicate-key snapshots would make value assertions ambiguous
+snapshots = st.dictionaries(
+    st.integers(0, 5), st.one_of(st.none(), st.text(max_size=5)), max_size=6
+).map(lambda d: sorted(d.items()))
+
+
+@given(rows=snapshots, rows2=snapshots)
+@settings(**SETTINGS)
+def test_scd2_invariants(spark, rows, rows2):
+    """For any two snapshots: (a) at most one current row per key, (b) every
+    incoming key is current with its incoming value, (c) re-merging the
+    same snapshot changes nothing (idempotence)."""
+    snap1 = spark.createDataFrame(rows, "k long, seg string") if rows else None
+    snap2 = spark.createDataFrame(rows2, "k long, seg string") if rows2 else None
+    if snap1 is None or snap2 is None:
+        return
+    d1 = scd.scd_merge(None, snap1, ["k"], "2", 1)
+    d2 = scd.scd_merge(d1, snap2, ["k"], "2", 2)
+
+    cur = scd.current_rows(d2)
+    per_key = cur.groupBy("k").count().filter("count > 1")
+    assert per_key.isEmpty(), "multiple current rows for a key"
+
+    incoming = dict(rows2)
+    current = {r.k: r.seg for r in cur.collect()}
+    for k, v in incoming.items():
+        assert current.get(k, "<missing>") == v
+
+    d3 = scd.scd_merge(d2, snap2, ["k"], "2", 3)
+    a = sorted(map(tuple, scd.current_rows(d3).select("k", "seg").collect()))
+    b = sorted(map(tuple, cur.select("k", "seg").collect()))
+    assert a == b, "re-merging the same snapshot must not change current state"
+
+
+@given(docs=st.lists(st.tuples(st.integers(0, 50), texts), min_size=1, max_size=10))
+@settings(**SETTINGS)
+def test_exact_dedup_conserves_rows(spark, docs):
+    """Sum of n_copies == input rows; canonical ids are real doc ids."""
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = dedup.exact_dedup(df).collect()
+    assert sum(r.n_copies for r in out) == len(docs)
+    ids = {d for d, _ in docs}
+    assert all(r.canonical_id in ids for r in out)
+
+
+@given(docs=st.lists(st.tuples(st.integers(0, 50), texts), min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_shingles_never_error_and_normalization_idempotent(spark, docs):
+    """Any text (unicode, empty, whitespace-only) must shingle without
+    error, and normalizing twice equals normalizing once."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = df.select(
+        dedup.shingles("text", 3).alias("sh"),
+        dedup.normalized_text("text").alias("n1"),
+        dedup.normalized_text(dedup.normalized_text("text")).alias("n2"),
+        F.size(F.split(dedup.normalized_text("text"), " ")).alias("ntok"),
+    ).collect()
+    for r in rows:
+        assert r.n1 == r.n2
+        if r.ntok >= 3:
+            assert len(r.sh) >= 1
+        else:
+            assert r.sh == []
+
+
+@given(
+    rows=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100)), max_size=12)
+)
+@settings(**SETTINGS)
+def test_quality_checks_consistent(spark, rows):
+    """count_check(df, df) always passes; dup_check fails iff a key
+    repeats; data_diff(df, df) always passes."""
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "k int, v int")
+    assert quality.count_check(df, df).first().status == "PASS"
+    assert quality.data_diff(df, df).first().status == "PASS"
+    has_dup = len({k for k, _ in rows}) < len(rows)
+    got = quality.dup_check(df, ["k", "v"]).first().status
+    expect_dup = len({(k, v) for k, v in rows}) < len(rows)
+    assert got == ("FAIL" if expect_dup else "PASS")
