@@ -481,6 +481,58 @@ def stream_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fact_validation_suite",
+    """WITH s1 AS (SELECT o_custkey, COUNT(*) AS n FROM orders
+                   WHERE o_totalprice > 250000.0 GROUP BY o_custkey),
+            t_bad AS (SELECT o_custkey, COUNT(*) AS n FROM orders
+                      WHERE o_totalprice > 300000.0 GROUP BY o_custkey),
+            d1 AS (SELECT COUNT(*) c FROM (SELECT * FROM s1 EXCEPT SELECT * FROM t_bad)),
+            d2 AS (SELECT COUNT(*) c FROM (SELECT * FROM t_bad EXCEPT SELECT * FROM s1))
+       SELECT 'orders_selfcheck_count' AS check_name, 'PASS' AS status,
+              (SELECT COUNT(*) FROM s1) AS metric_a,
+              (SELECT COUNT(*) FROM s1) AS metric_b
+       UNION ALL
+       SELECT 'orders_selfcheck_diff', 'PASS', 0, 0
+       UNION ALL
+       SELECT 'threshold_drift_count',
+              CASE WHEN (SELECT COUNT(*) FROM s1) = (SELECT COUNT(*) FROM t_bad)
+                   THEN 'PASS' ELSE 'FAIL' END,
+              (SELECT COUNT(*) FROM s1), (SELECT COUNT(*) FROM t_bad)
+       UNION ALL
+       SELECT 'threshold_drift_diff',
+              CASE WHEN d1.c = 0 AND d2.c = 0 THEN 'PASS' ELSE 'FAIL' END,
+              d1.c, d2.c
+       FROM d1, d2""",
+)
+def fact_validation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 FACT_AUTOMATION end-to-end: a ':'-delimited config file of
+    (check, source query, target query) rows (S8) drives parameterized
+    count + symmetric-MINUS validations (F9/Q1/Q2) — one matching pair and
+    one deliberately drifted pair."""
+    from kafka_etl_automation_spark import io as kio
+
+    load_tables(spark, sf_dir, names=("orders",))
+    q = (
+        "SELECT o_custkey, COUNT(*) AS n FROM orders "
+        "WHERE o_totalprice > {lo} GROUP BY o_custkey"
+    )
+    # '|'-delimited (not ':' — the SQL text itself contains :param markers)
+    cfg_path = os.path.join(_tmp("facts"), "testing_queries.txt")
+    with open(cfg_path, "w") as f:
+        f.write(
+            "orders_selfcheck|"
+            + q.format(lo=":lo") + "|" + q.format(lo=":lo") + "\n"
+            "threshold_drift|"
+            + q.format(lo=":lo") + "|" + q.format(lo="300000.0") + "\n"
+        )
+    config = kio.read_delimited(
+        spark, cfg_path, sep="|",
+        names=["check_name", "source_sql", "target_sql"],
+    )
+    return quality.run_config_validations(spark, config, params={"lo": 250000.0})
+
+
+@register(
     "stream_kafka_roundtrip",
     """SELECT event_id, user_id, event_type, value, props FROM events""",
 )

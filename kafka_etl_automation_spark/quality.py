@@ -142,6 +142,35 @@ def run_suite(checks: Iterable[DataFrame]) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), checks[1:], checks[0])
 
 
+def run_config_validations(
+    spark,
+    config: DataFrame,
+    name_col: str = "check_name",
+    source_col: str = "source_sql",
+    target_col: str = "target_sql",
+    params: dict | None = None,
+) -> DataFrame:
+    """The reference's FACT_AUTOMATION core loop
+    (/root/reference/FACT_AUTOMATION.sh:116-263): a config table of
+    (check name, source query, target query) rows drives count validation +
+    symmetric-MINUS data validation per pair, all results in one frame.
+
+    The config is control-plane metadata (the reference reads it from the
+    ``TESTING_QUERIES`` table) — iterating it driver-side is the intended
+    shape; each validation's data-plane work is a lazy Spark plan. ``params``
+    are bound into the query text via parameterized spark.sql (F9), never
+    string substitution.
+    """
+    rows = config.select(name_col, source_col, target_col).collect()
+    results = []
+    for r in rows:
+        src = spark.sql(r[source_col], args=params or {})
+        tgt = spark.sql(r[target_col], args=params or {})
+        results.append(count_check(src, tgt, f"{r[name_col]}_count"))
+        results.append(data_diff(src, tgt, f"{r[name_col]}_diff"))
+    return run_suite(results)
+
+
 def artifact_check(spark, path: str, name: str = "artifact_check") -> DataFrame:
     """Q6: artifact-existence validation — the reference asserts expected
     HDFS dirs/files exist by name (Kafka_ArrivalToConform.sh:311-332,
