@@ -33,6 +33,14 @@ ALLOW = {
     "j4_scalar_subquery_join": {"BroadcastNestedLoopJoin"},
     # conservation check crossJoins two single-row agg frames
     "stream_file_ingest": {"BroadcastNestedLoopJoin"},
+    # documented exact all-pairs verifier (id_a < id_b inequality join);
+    # the deployable path is the bucketed ext_lsh_embedding_near_dup
+    "ext_embedding_near_dup": {"CartesianProduct", "BroadcastNestedLoopJoin"},
+    # centroid-assignment join broadcasts the n_cells centroid rows —
+    # bounded small side by construction
+    "ext_ivf_topk": {"BroadcastNestedLoopJoin"},
+    # per-validation one-row count frames crossJoined into result rows
+    "fact_validation_suite": {"CartesianProduct", "BroadcastNestedLoopJoin"},
 }
 
 HARD = ("CartesianProduct", "BatchEvalPython")
