@@ -472,6 +472,9 @@ def stream_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=os.path.join(root, "ckpt"),
         topic="events",
         run_id=1,
+        # 2 files/trigger: still multi-batch (the T2/T3 contract needs >=2
+        # batches) at half the fixed micro-batch planning overhead
+        max_files_per_trigger=2,
     )
     audit = ingest.read_audit(spark, os.path.join(root, "audit"))
     assert ingest.contiguity_violations(audit, order_col="from_offset").isEmpty(), (
