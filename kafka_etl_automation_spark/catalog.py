@@ -74,6 +74,29 @@ def _fix_nano_ts(df: DataFrame, name: str) -> DataFrame:
     return df
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Persist a table bucketed (and sorted) by its join key.
+
+    Two tables bucketed the same way join with NO exchange — at 100 TB this
+    converts the nightly fact/dim join from a full shuffle into a local
+    zipper per bucket (the reference's Oracle equivalent is hash-clustered
+    staging tables). Bucket count should be sized so bucket x file ~
+    128-256 MB at the target scale.
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        buckets, *bucket_cols
+    )
+    if sort:
+        writer = writer.sortBy(*bucket_cols)
+    writer.saveAsTable(table)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one warehouse table. Parquet scan => Catalyst gets predicate
     pushdown + column pruning for free; never cache here (tables are the

@@ -21,12 +21,17 @@ SF_SMALL = "/root/testdata/sf0.001"
 def spark():
     from pyspark.sql import SparkSession
 
+    import tempfile
+
     s = (
         SparkSession.builder.master("local[4]")
         .appName("kea-tests")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
+        # saveAsTable targets (bucketing tests) land in a temp warehouse,
+        # never in the repo
+        .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="kea_wh_"))
         .getOrCreate()
     )
     s.sparkContext.setLogLevel("ERROR")
