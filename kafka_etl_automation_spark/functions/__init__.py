@@ -2,5 +2,8 @@ from kafka_etl_automation_spark.functions.scalar import (  # noqa: F401
     dec,
     dsum,
     nvl,
-    occurrences,
+)
+from kafka_etl_automation_spark.functions.templating import (  # noqa: F401
+    render_template,
+    run_template,
 )

@@ -40,13 +40,3 @@ def nvl(col: Column | str, default) -> Column:
     return F.coalesce(c, F.lit(default))
 
 
-def occurrences(col: Column | str, needle: str) -> Column:
-    """Count non-overlapping occurrences of a literal substring.
-
-    Implemented with the length/replace identity so it is a pure JVM
-    expression with byte-identical semantics in any ANSI SQL engine —
-    used by the language-ID heuristic where the differential oracle must
-    agree exactly.
-    """
-    c = F.col(col) if isinstance(col, str) else col
-    return (F.length(c) - F.length(F.replace(c, F.lit(needle), F.lit("")))) / len(needle)
