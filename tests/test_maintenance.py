@@ -1,0 +1,36 @@
+"""Small-file compaction: fewer files, identical data, partition layout
+preserved."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from kafka_etl_automation_spark import maintenance
+
+
+def test_compact_flat_table(spark, tmp_root):
+    path = os.path.join(tmp_root, "t")
+    # 20 tiny files
+    spark.range(2000).repartition(20).write.parquet(path)
+    before_rows = sorted(r.id for r in spark.read.parquet(path).collect())
+    b, a = maintenance.compact(spark, path, target_mb=256)
+    assert b == 20 and a < b
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == before_rows
+
+
+def test_compact_partitioned_table(spark, tmp_root):
+    path = os.path.join(tmp_root, "t")
+    df = spark.range(300).select(
+        F.col("id"), (F.col("id") % 3).alias("run")
+    )
+    df.repartition(10).write.partitionBy("run").parquet(path)
+    b, a = maintenance.compact(spark, path, target_mb=256, partition_col="run")
+    assert a < b
+    back = spark.read.parquet(path)
+    assert back.count() == 300
+    # partition dirs survive (pruning layout intact)
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("run=")
+    ) == ["run=0", "run=1", "run=2"]
