@@ -80,4 +80,8 @@ def incremental_load(
     registry.finish_run(job_name, run_id, status=1 if passed else 2, records=records)
     if passed:
         registry.record_consumed(job_name, run_id, src_job_name, window)
+    else:
+        # failed run's rows must not linger for a retry to duplicate —
+        # the reference's delete-then-reload contract (rerunnability.sh:91-131)
+        scd.delete_run(spark, target_path, run_id)
     return LoadResult(run_id, window, records, passed)

@@ -17,6 +17,50 @@ def _src_runs(reg, n):
         reg.finish_run("conform", r, status=1)
 
 
+def test_failed_dq_does_not_advance_hwm(spark, tmp_root, monkeypatch):
+    """A load whose DQ suite fails must record status 2 and leave the
+    high-water mark untouched, so the next attempt retries the SAME window
+    (the reference's failed-run-not-consumed semantics)."""
+    from kafka_etl_automation_spark import quality as q
+    from kafka_etl_automation_spark import transform as tf
+
+    reg = JobRegistry(spark, os.path.join(tmp_root, "ctl"))
+    source = spark.range(10).select(
+        F.col("id"), F.lit(1).cast("long").alias("job_run_id")
+    )
+    _src_runs(reg, 1)
+
+    real_count_check = q.count_check
+
+    def failing_count_check(src, tgt, name="count_check"):
+        out = real_count_check(src, tgt, name)
+        return out.withColumn("status", F.lit("FAIL"))
+
+    monkeypatch.setattr(tf.quality, "count_check", failing_count_check)
+    r1 = tf.incremental_load(
+        spark, reg, "stg", "conform", source, "job_run_id",
+        os.path.join(tmp_root, "staging"),
+    )
+    assert r1 is not None and not r1.dq_passed
+    assert reg.run_status("stg", r1.run_id) == 2  # failed
+    monkeypatch.setattr(tf.quality, "count_check", real_count_check)
+
+    # retry sees the SAME window and succeeds
+    r2 = tf.incremental_load(
+        spark, reg, "stg", "conform", source, "job_run_id",
+        os.path.join(tmp_root, "staging"),
+    )
+    assert r2 is not None and r2.dq_passed
+    assert (r2.window.min_run_id, r2.window.max_run_id) == (
+        r1.window.min_run_id,
+        r1.window.max_run_id,
+    )
+    # the failed run's partition was deleted: rows present exactly once
+    dim = scd.read_dim(spark, os.path.join(tmp_root, "staging"))
+    assert dim.count() == 10
+    assert dim.select("id").distinct().count() == 10
+
+
 def test_two_loads_consume_disjoint_windows(spark, tmp_root):
     reg = JobRegistry(spark, os.path.join(tmp_root, "ctl"))
     source = spark.range(100).select(
