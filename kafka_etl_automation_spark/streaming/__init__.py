@@ -3,6 +3,7 @@
 from kafka_etl_automation_spark.streaming.ingest import (  # noqa: F401
     AUDIT_SCHEMA,
     IngestResult,
+    ProgressAuditListener,
     conservation_check,
     contiguity_violations,
     kafka_batch_source,

@@ -119,6 +119,80 @@ def kafka_batch_source(
     )
 
 
+class ProgressAuditListener:
+    """StreamingQueryListener recording every micro-batch's progress
+    (batch id, source offsets, rows, durations) as parquet audit rows —
+    the engine-level flavor of S2 offset bookkeeping (SURVEY §2.1: expose
+    ``lastProgress`` source offsets to a control table). Complements the
+    foreachBatch audit: this one sees engine metrics (durationMs,
+    inputRowsPerSecond) the batch function can't."""
+
+    def __init__(self, audit_path: str):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        outer = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                try:
+                    src = p.sources[0] if p.sources else None
+                    outer._write(
+                        {
+                            "query_id": str(p.id),
+                            "batch_id": int(p.batchId),
+                            "num_input_rows": int(p.numInputRows),
+                            "start_offset": str(src.startOffset) if src else None,
+                            "end_offset": str(src.endOffset) if src else None,
+                            "duration_ms": int(
+                                p.durationMs.get("triggerExecution", 0)
+                            ),
+                        }
+                    )
+                except Exception:
+                    pass  # a broken audit row must never kill the stream
+
+            def onQueryTerminated(self, event):
+                pass
+
+            def onQueryIdle(self, event):
+                pass
+
+        self.audit_path = audit_path
+        self.listener = _L()
+
+    def _write(self, row: dict) -> None:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.audit_path, exist_ok=True)
+        table = pa.table(
+            {
+                "query_id": pa.array([row["query_id"]], pa.string()),
+                "batch_id": pa.array([row["batch_id"]], pa.int64()),
+                "num_input_rows": pa.array([row["num_input_rows"]], pa.int64()),
+                "start_offset": pa.array([row["start_offset"]], pa.string()),
+                "end_offset": pa.array([row["end_offset"]], pa.string()),
+                "duration_ms": pa.array([row["duration_ms"]], pa.int64()),
+            }
+        )
+        pq.write_table(
+            table, os.path.join(self.audit_path, f"p-{uuid.uuid4().hex}.parquet")
+        )
+
+    def attach(self, spark: SparkSession) -> "ProgressAuditListener":
+        spark.streams.addListener(self.listener)
+        return self
+
+    def detach(self, spark: SparkSession) -> None:
+        spark.streams.removeListener(self.listener)
+
+
 def to_kafka_shape(
     df: DataFrame,
     key_col: str,
