@@ -277,6 +277,68 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-duplicate pairs into components: every doc gets the
+    minimum reachable doc id as its cluster id (keep ``doc_id ==
+    cluster_id`` to dedup a corpus).
+
+    Min-label propagation to fixpoint: each iteration joins labels across
+    edges and keeps the minimum — the standard large-graph CC pattern
+    (hash-partitioned joins, state is one row per node, diameter-bounded
+    iterations). The driver-side loop is inherent to iterative algorithms
+    (same shape as GraphX/GraphFrames); each iteration's convergence check
+    is one count on the changed set.
+    """
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = ids.select(
+        F.col(id_col).alias("u"), F.col(id_col).alias("label")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.u)
+            .groupBy(edges.u.alias("nu"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.u == F.col("nu"), "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.u") == F.col("o.u"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("u").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:

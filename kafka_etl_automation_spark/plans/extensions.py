@@ -76,6 +76,44 @@ def ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(t["documents"], n=3, threshold=0.2)
 
 
+_CLUSTER_ORACLE = (
+    _SHINGLES3
+    + """, sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT i.id_a, i.id_b FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.2),
+      e AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+      r AS (
+        WITH RECURSIVE reach(u, v) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT reach.u, e.v FROM reach JOIN e ON reach.v = e.u
+        ) SELECT * FROM reach)
+      SELECT u AS doc_id, MIN(v) AS cluster_id FROM r GROUP BY u"""
+)
+
+
+@register("ext_dedup_clusters", _CLUSTER_ORACLE)
+def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering (operators.dedup.connected_components): min-label
+    propagation over the exact trigram-Jaccard pair graph; cluster id = min
+    reachable doc id (keep doc_id == cluster_id to dedup). Oracle computes
+    the same components with a recursive CTE."""
+    t = load_tables(spark, sf_dir, names=("documents",))
+    docs = t["documents"]
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    return dedup.connected_components(
+        pairs, docs.select(F.col("doc_id")), id_col="doc_id"
+    )
+
+
 @register("ext_minhash_lsh")  # probabilistic recall -> rows-only check
 def ext_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, exact-Jaccard verified

@@ -54,6 +54,19 @@ def test_minhash_lsh_precision(spark):
     assert (1, 2) in {(r.id_a, r.id_b) for r in pairs.collect()}
 
 
+def test_connected_components(spark):
+    """Chain, cycle, and singleton all resolve to min-id clusters."""
+    pairs = spark.createDataFrame(
+        # chain 1-2-3, cycle 10-11, 11-12, 12-10
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10)],
+        "id_a long, id_b long",
+    )
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 12, 99)], "id long")
+    out = {r.id: r.cluster_id for r in
+           dedup.connected_components(pairs, ids).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
 def test_simhash_rejects_bad_banding(spark):
     df = docs_df(spark, [(1, "a b c")])
     with pytest.raises(ValueError, match="max_hamming < chunks"):
