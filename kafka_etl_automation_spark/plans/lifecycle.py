@@ -472,9 +472,13 @@ def stream_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=os.path.join(root, "ckpt"),
         topic="events",
         run_id=1,
-        # 2 files/trigger: still multi-batch (the T2/T3 contract needs >=2
-        # batches) at half the fixed micro-batch planning overhead
-        max_files_per_trigger=2,
+        # 1 file/trigger is REQUIRED here: the offset arithmetic
+        # (until-from+1 == count, contiguous tiling) only holds when each
+        # batch is exactly one range-partitioned file — the file source
+        # does not guarantee adjacent files land in the same multi-file
+        # batch (observed: a 2-files/trigger run paired non-adjacent
+        # ranges and tripped the T2 assert)
+        max_files_per_trigger=1,
     )
     audit = ingest.read_audit(spark, os.path.join(root, "audit"))
     assert ingest.contiguity_violations(audit, order_col="from_offset").isEmpty(), (
