@@ -442,6 +442,32 @@ def ext_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_quantiles",
+    """SELECT o_orderpriority,
+              quantile_cont(o_totalprice, 0.5) AS p50,
+              quantile_cont(o_totalprice, 0.95) AS p95
+       FROM orders GROUP BY o_orderpriority""",
+)
+def ext_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped quantiles: Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share linear interpolation, so the doubles
+    hash-match bit-for-bit. Exact percentile sorts per group — at 100 TB
+    switch to ``percentile_approx`` (t-digest sketch, map-side
+    combinable); the exact form is the verifier."""
+    t = load_tables(spark, sf_dir, names=("orders",))
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(F.expr("percentile(o_totalprice, array(0.5, 0.95))").alias("q"))
+        .select(
+            "o_orderpriority",
+            F.col("q")[0].alias("p50"),
+            F.col("q")[1].alias("p95"),
+        )
+    )
+
+
+@register(
     "ext_redact",
     r"""SELECT doc_id,
                regexp_replace(
