@@ -90,6 +90,9 @@ def main() -> int:
             continue
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
+        # operators that persist() multi-branch intermediates (minhash LSH)
+        # would otherwise accumulate cached blocks across the whole run
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -17,7 +17,7 @@ Spark-native re-expression of the reference's ``JOB_PROCESS_CONTROL`` /
 Storage is a directory of tiny parquet tables. The control plane is
 METADATA — KBs even when the data plane is 100 TB — so registry mutations
 (the reference's single-row Oracle DML) run driver-side over pyarrow with
-an atomic rename swap: no Spark job per metadata op (a ~1.5 s/op saving
+an atomic file replace: no Spark job per metadata op (a ~1.5 s/op saving
 that multiplies across every load). The *views* (``control()``/
 ``control_src()``) surface the same tables as Spark DataFrames for any
 plan that wants to join against them, and all *data-plane* reads driven by
@@ -31,7 +31,6 @@ Single-writer assumption (one orchestrator mutates the registry at a time)
 from __future__ import annotations
 
 import os
-import shutil
 import uuid
 from dataclasses import dataclass
 
@@ -113,7 +112,11 @@ class JobRegistry:
     # -- storage ------------------------------------------------------------
 
     def _path(self, name: str) -> str:
-        return os.path.join(self.root, name)
+        # single parquet FILE, not a directory: os.replace of a file is
+        # genuinely atomic, so a crash mid-update can never lose the table
+        # (a dir-rename pair has a window where the table is absent and a
+        # restarted registry would re-allocate run ids — code-review r02)
+        return os.path.join(self.root, f"{name}.parquet")
 
     def _read_pd(self, name: str, schema: pa.Schema) -> pd.DataFrame:
         path = self._path(name)
@@ -122,20 +125,12 @@ class JobRegistry:
         return pq.read_table(path).to_pandas()
 
     def _write_pd(self, pdf: pd.DataFrame, name: str, schema: pa.Schema) -> None:
-        """Atomic swap: write a fresh single-file table dir, rename over."""
         final = self._path(name)
-        tmp = final + f"__tmp{uuid.uuid4().hex[:8]}"
-        os.makedirs(tmp)
+        tmp = final + f".tmp{uuid.uuid4().hex[:8]}"
         pq.write_table(
-            pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
-            os.path.join(tmp, "part-0.parquet"),
+            pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), tmp
         )
-        old = final + "__old"
-        if os.path.exists(final):
-            os.rename(final, old)
-        os.rename(tmp, final)
-        if os.path.exists(old):
-            shutil.rmtree(old)
+        os.replace(tmp, final)
 
     def _control_pd(self) -> pd.DataFrame:
         return self._read_pd("job_process_control", _CONTROL_PA)

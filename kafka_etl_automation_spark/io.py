@@ -85,14 +85,24 @@ def write_conformed(
     run_id: int,
     source_file_name: str = "unknown",
     fmt: str = "parquet",
+    create_date: str | None = None,
 ) -> None:
     """S5: conformed-layer sink with lineage stamping and the reference's
     partition layout ``create_date=.../source_file_name=...``
     (Kafka_ArrivalToConform.sh:536-539). Dynamic partition overwrite makes
-    re-running a day+file idempotent."""
+    re-running a (date, file) pair idempotent.
+
+    ``create_date`` should come from the run's control record (stable per
+    run id): the wall-clock default means a retry that crosses midnight
+    lands in a NEW date partition and duplicates the data instead of
+    replacing it — pass the original run's date when re-running.
+    """
+    date_col = (
+        F.to_date(F.lit(create_date)) if create_date else F.current_date()
+    )
     (
         df.withColumn("create_job_run_id", F.lit(run_id).cast("long"))
-        .withColumn("create_date", F.current_date())
+        .withColumn("create_date", date_col)
         .withColumn("source_file_name", F.lit(source_file_name))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

@@ -45,6 +45,30 @@ def compact(
     swapped in after a row-count equality check — a failed rewrite leaves
     the table untouched.
     """
+    # A hive-partitioned layout (name=value dirs) compacted WITHOUT
+    # partitionBy would silently flatten the directory structure —
+    # breaking partition pruning and scd.delete_run afterwards. Detect the
+    # layout and derive the partition column rather than trusting the
+    # caller to remember (code-review finding r02).
+    part_dirs = [
+        d
+        for d in os.listdir(path)
+        if os.path.isdir(os.path.join(path, d)) and "=" in d
+    ]
+    if part_dirs:
+        detected = sorted({d.split("=", 1)[0] for d in part_dirs})
+        if len(detected) > 1:
+            raise ValueError(
+                f"multi-level partition layout {detected} not supported"
+            )
+        if partition_col is None:
+            partition_col = detected[0]
+        elif partition_col != detected[0]:
+            raise ValueError(
+                f"table is partitioned by {detected[0]!r}, got "
+                f"partition_col={partition_col!r}"
+            )
+
     bytes_total, files_before = dir_stats(path)
     n_files = max(1, math.ceil(bytes_total / (target_mb * 1024 * 1024)))
 

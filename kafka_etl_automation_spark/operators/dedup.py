@@ -308,6 +308,7 @@ def connected_components(
         F.col(id_col).alias("u"), F.col(id_col).alias("label")
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.v == labels.u)
@@ -334,8 +335,16 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # silent non-convergence would split one real component into
+        # several clusters and keep duplicates — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations (component diameter exceeds max_iter); raise max_iter"
+        )
     return labels.select(F.col("u").alias(id_col), F.col("label").alias("cluster_id"))
 
 

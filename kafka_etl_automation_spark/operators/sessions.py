@@ -32,6 +32,7 @@ def sessionize(
     gap_minutes: int = 30,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    tiebreak_col: str | None = "event_id",
 ) -> DataFrame:
     """Gap-based sessions per user: a new session starts when the time
     since the previous event exceeds the gap. Returns one row per session
@@ -42,7 +43,12 @@ def sessionize(
     hash-partition on the user column, so the whole operator is one shuffle
     of the events plus map-side work — no driver state, no iteration.
     """
-    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col("event_id"))
+    # a unique tiebreaker makes equal-timestamp ordering deterministic;
+    # applied only when the column exists so the API needs just user/ts
+    order = [F.col(ts_col)]
+    if tiebreak_col and tiebreak_col in events.columns:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(user_col).orderBy(*order)
     gap = F.lit(gap_minutes * 60)
     flagged = events.withColumn(
         "new_session",

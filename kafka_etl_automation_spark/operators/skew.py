@@ -77,6 +77,15 @@ def salted_join(
     replicate the small side across every salt value, join on keys + salt.
     The hot key's rows land in ``buckets`` different tasks instead of one.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in allowed}:
+        # right/full outer would emit `buckets` copies of every unmatched
+        # small-side row (it is replicated across all salt values)
+        raise ValueError(
+            f"salted_join supports big-side-preserving joins only "
+            f"({sorted(allowed)}); got {how!r}"
+        )
     big_s = big.withColumn("_salt", deterministic_salt(salt_col, buckets))
     salts = F.explode(
         F.array(*[F.lit(i) for i in range(buckets)])

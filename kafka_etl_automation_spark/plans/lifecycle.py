@@ -599,7 +599,12 @@ def pipeline_arrival_to_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_etl_automation_spark import io as kio
 
     conformed_path = os.path.join(root, "conformed")
-    kio.write_conformed(bronze, conformed_path, run_id=1, source_file_name="events")
+    # create_date pinned (run-keyed, not wall clock) so a re-run of this
+    # load replaces its own partition regardless of when it executes
+    kio.write_conformed(
+        bronze, conformed_path, run_id=1, source_file_name="events",
+        create_date="2024-01-01",
+    )
     conformed = spark.read.parquet(conformed_path)
 
     # 3. conformed -> staging: registered source run + HWM incremental load

@@ -72,6 +72,11 @@ def scd_merge(
       update_job_run_id=run) and insert a new current version; unchanged
       rows pass through untouched; new keys insert.
 
+    Keys present in the dim but absent from the incoming snapshot stay
+    OPEN (their last version remains current): source omission is not a
+    delete — matching the reference, where deletes arrive as explicit
+    reprocess/delete flows (rerunnability.sh), never inferred from a feed.
+
     Returns the complete new dim state (history included for type 2).
     """
     scd_type = str(scd_type).lower().lstrip("type").strip() or "2"
@@ -108,12 +113,19 @@ def scd_merge(
         new_keys = inc.join(cur, on, "left_anti")
         return unmatched_cur.unionByName(matched).unionByName(new_keys)
 
-    # type 2
-    cur_open = cur.filter(F.col("record_status") == "1")
+    # type 2. Side presence is tracked with explicit marker columns, not
+    # key-null checks: a legitimately NULL business-key value on either
+    # side would otherwise register as "row absent" and fabricate spurious
+    # all-NULL rows (code-review finding r02).
+    cur_open = cur.filter(F.col("record_status") == "1").withColumn(
+        "_cur_present", F.lit(True)
+    )
     cur_closed = current.filter(F.col("record_status") == "0")
-    joined = cur_open.join(inc, on, "full_outer")
-    k0 = f"inc.{keys[0]}"
-    is_match = F.col(f"cur.{keys[0]}").isNotNull() & F.col(k0).isNotNull()
+    inc_marked = inc.withColumn("_inc_present", F.lit(True))
+    joined = cur_open.join(inc_marked, on, "full_outer")
+    cur_present = F.col("_cur_present").isNotNull()
+    inc_present = F.col("_inc_present").isNotNull()
+    is_match = cur_present & inc_present
     changed = is_match & _changed(attrs)
 
     keep_open = joined.filter(is_match & ~_changed(attrs)).select(
@@ -129,10 +141,10 @@ def scd_merge(
     opened_now = joined.filter(changed).select(
         *[F.col(f"inc.{c}").alias(c) for c in incoming.columns]
     )
-    brand_new = joined.filter(F.col(f"cur.{keys[0]}").isNull()).select(
+    brand_new = joined.filter(~cur_present).select(
         *[F.col(f"inc.{c}").alias(c) for c in incoming.columns]
     )
-    disappeared = joined.filter(F.col(k0).isNull()).select(
+    disappeared = joined.filter(~inc_present).select(
         *[F.col(f"cur.{c}").alias(c) for c in current.columns]
     )
     return (
@@ -154,9 +166,15 @@ def append_run(df: DataFrame, path: str, run_id: int, run_col: str = "create_job
     partitioned by run id and written with dynamic partition overwrite, so
     re-running the same run id replaces its own partition and leaves every
     other run untouched (M3, rerunnability.sh:91-131). At 100 TB this is a
-    metadata-only swap of one partition directory."""
-    if run_col not in df.columns:
-        df = df.withColumn(run_col, F.lit(run_id).cast("long"))
+    metadata-only swap of one partition directory.
+
+    ``run_col`` is ALWAYS (re)stamped to ``run_id`` — "this batch IS run
+    N". A source frame carrying an upstream layer's lineage column would
+    otherwise scatter the batch across the upstream's run partitions,
+    breaking the landed-rows filter and the failure-cleanup delete
+    (code-review finding r02). Preserve upstream lineage by renaming it
+    (e.g. ``src_job_run_id``) before the hop."""
+    df = df.withColumn(run_col, F.lit(run_id).cast("long"))
     (
         df.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

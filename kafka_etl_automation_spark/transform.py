@@ -56,6 +56,20 @@ def incremental_load(
 
     run_id = registry.start_run(job_name)
     batch = apply_window(source_df, window, src_run_col)
+    if src_run_col == "create_job_run_id":
+        # preserve upstream lineage under its own name: append_run restamps
+        # create_job_run_id to THIS run (see scd.append_run docstring)
+        batch = batch.withColumnRenamed(src_run_col, "src_job_run_id")
+        src_run_col = "src_job_run_id"
+
+    if batch.isEmpty():
+        # a successful source run can legitimately carry zero rows (the
+        # reference's "NO RECORDS" runs complete with success status);
+        # consume the window without writing a footerless empty partition
+        registry.finish_run(job_name, run_id, status=1, records=0)
+        registry.record_consumed(job_name, run_id, src_job_name, window)
+        return LoadResult(run_id, window, 0, True)
+
     scd.append_run(batch, target_path, run_id)
 
     landed = scd.read_dim(spark, target_path).filter(

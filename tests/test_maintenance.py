@@ -20,6 +20,28 @@ def test_compact_flat_table(spark, tmp_root):
     assert sorted(r.id for r in spark.read.parquet(path).collect()) == before_rows
 
 
+def test_compact_autodetects_partition_layout(spark, tmp_root):
+    """Compacting a hive-partitioned table WITHOUT naming the partition
+    column must preserve the layout, not flatten it (code-review r02)."""
+    path = os.path.join(tmp_root, "t")
+    df = spark.range(90).select(F.col("id"), (F.col("id") % 3).alias("run"))
+    df.repartition(6).write.partitionBy("run").parquet(path)
+    maintenance.compact(spark, path, target_mb=256)  # no partition_col
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("run=")
+    ) == ["run=0", "run=1", "run=2"]
+    assert spark.read.parquet(path).count() == 90
+
+
+def test_compact_rejects_wrong_partition_col(spark, tmp_root):
+    import pytest
+
+    path = os.path.join(tmp_root, "t")
+    spark.range(10).select(F.col("id"), (F.col("id") % 2).alias("run")).write.partitionBy("run").parquet(path)
+    with pytest.raises(ValueError, match="partitioned by 'run'"):
+        maintenance.compact(spark, path, partition_col="other")
+
+
 def test_compact_partitioned_table(spark, tmp_root):
     path = os.path.join(tmp_root, "t")
     df = spark.range(300).select(

@@ -67,6 +67,18 @@ def test_connected_components(spark):
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 99: 99}
 
 
+def test_connected_components_raises_on_non_convergence(spark):
+    import pytest
+
+    # chain of diameter 5 cannot converge in 1 iteration
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, ids, max_iter=1)
+
+
 def test_simhash_rejects_bad_banding(spark):
     df = docs_df(spark, [(1, "a b c")])
     with pytest.raises(ValueError, match="max_hamming < chunks"):

@@ -51,6 +51,28 @@ def test_type2_null_safe_change_detection(spark):
     assert s[(1, "0")] == (None, 1, 3) and s[(1, "1")] == ("X", 3, 3)
 
 
+def test_type2_null_business_key_no_fabricated_rows(spark):
+    """NULL business-key rows must not fabricate all-NULL ghost rows
+    (code-review r02: key-null presence checks misread NULL keys as
+    'row absent')."""
+    d1 = scd.scd_merge(None, snap(spark, [(None, "A"), (1, "B")]), ["k"], "2", 1)
+    assert d1.count() == 2
+    d2 = scd.scd_merge(d1, snap(spark, [(None, "A"), (1, "B")]), ["k"], "2", 2)
+    rows = d2.collect()
+    # NULL keys never equi-match, so the null row closes nothing and the
+    # incoming null row inserts — but NO all-null ghost rows appear
+    assert all(r.seg is not None for r in rows)
+    assert not any(r.k is None and r.seg is None for r in rows)
+
+
+def test_append_run_always_restamps(spark, tmp_root):
+    path = os.path.join(tmp_root, "dim")
+    df = spark.range(5).withColumn("create_job_run_id", F.lit(42).cast("long"))
+    scd.append_run(df, path, 7)
+    out = scd.read_dim(spark, path)
+    assert set(r.create_job_run_id for r in out.select("create_job_run_id").distinct().collect()) == {7}
+
+
 def test_type1_overwrite_in_place(spark):
     d1 = scd.scd_merge(None, snap(spark, [(1, "A"), (2, "B")]), ["k"], "1", 1)
     d2 = scd.scd_merge(d1, snap(spark, [(2, "C"), (3, "N")]), ["k"], "1", 2)

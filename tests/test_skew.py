@@ -52,6 +52,16 @@ def test_salted_join_matches_plain(spark):
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
 
 
+def test_salted_join_rejects_small_side_preserving_modes(spark):
+    import pytest
+
+    big = skewed_df(spark)
+    small = spark.createDataFrame([(0, "hot")], "k long, label string")
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="big-side-preserving"):
+            skew.salted_join(big, small, ["k"], salt_col="uid", how=how)
+
+
 def test_salted_join_left_outer(spark):
     big = skewed_df(spark)
     small = spark.createDataFrame([(0, "hot")], "k long, label string")

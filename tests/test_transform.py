@@ -17,6 +17,49 @@ def _src_runs(reg, n):
         reg.finish_run("conform", r, status=1)
 
 
+def test_second_hop_restamps_upstream_lineage(spark, tmp_root):
+    """A source already carrying create_job_run_id (output of a previous
+    hop) must be restamped to THIS run — upstream run ids in {1,2} with new
+    run id 1 previously scattered the batch across upstream partitions and
+    broke landed-row accounting (code-review r02)."""
+    reg = JobRegistry(spark, os.path.join(tmp_root, "ctl"))
+    upstream = spark.range(20).select(
+        F.col("id"), (F.col("id") % 2 + 1).alias("create_job_run_id")
+    )
+    _src_runs(reg, 2)
+    r = incremental_load(
+        spark, reg, "mart", "conform", upstream, "create_job_run_id",
+        os.path.join(tmp_root, "mart"),
+    )
+    assert r is not None and r.dq_passed and r.records == 20
+    dim = scd.read_dim(spark, os.path.join(tmp_root, "mart"))
+    # all rows under THIS run's partition; upstream lineage preserved renamed
+    assert dim.select("create_job_run_id").distinct().collect()[0][0] == r.run_id
+    assert set(x.src_job_run_id for x in dim.select("src_job_run_id").distinct().collect()) == {1, 2}
+
+
+def test_empty_window_batch_completes_without_write(spark, tmp_root):
+    """A successful source run with zero matching rows must consume the
+    window (status 1, records 0) and not leave a footerless partition."""
+    reg = JobRegistry(spark, os.path.join(tmp_root, "ctl"))
+    source = spark.range(10).select(
+        F.col("id"), F.lit(99).cast("long").alias("job_run_id")  # never in window
+    )
+    _src_runs(reg, 1)
+    r = incremental_load(
+        spark, reg, "stg", "conform", source, "job_run_id",
+        os.path.join(tmp_root, "staging"),
+    )
+    assert r is not None and r.dq_passed and r.records == 0
+    assert not os.path.exists(os.path.join(tmp_root, "staging"))
+    # window consumed: next call short-circuits
+    assert (
+        incremental_load(spark, reg, "stg", "conform", source, "job_run_id",
+                         os.path.join(tmp_root, "staging"))
+        is None
+    )
+
+
 def test_failed_dq_does_not_advance_hwm(spark, tmp_root, monkeypatch):
     """A load whose DQ suite fails must record status 2 and leave the
     high-water mark untouched, so the next attempt retries the SAME window
