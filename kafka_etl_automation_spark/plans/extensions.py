@@ -441,6 +441,70 @@ def ext_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.windowed_counts(t["events"], window_minutes=60)
 
 
+_ASOF_ORACLE = """
+WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'),
+     purch AS (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id, l.ts,
+       r.value AS last_purchase_value, r.ts AS matched_ts
+FROM clicks l
+ASOF LEFT JOIN purch r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+@register("ext_asof_join", _ASOF_ORACLE)
+def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: each click gets the user's latest prior
+    purchase (operators.joins.asof_join — union + carry-forward window,
+    one user-keyed shuffle, no Python). Oracle is DuckDB's native ASOF
+    JOIN — two independent implementations of the semantics."""
+    from kafka_etl_automation_spark.operators import joins
+
+    t = load_tables(spark, sf_dir, names=("events",))
+    e = t["events"]
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("last_purchase_value")
+    )
+    return joins.asof_join(clicks, purchases, on="user_id", ts_col="ts")
+
+
+@register(
+    "ext_range_join",
+    """WITH iv AS (SELECT DISTINCT p_size AS lo, p_size + 2 AS hi FROM part)
+       SELECT iv.lo, iv.hi, COUNT(*) AS n_points
+       FROM lineitem l JOIN iv
+         ON l.l_quantity >= iv.lo AND l.l_quantity <= iv.hi
+       GROUP BY iv.lo, iv.hi""",
+)
+def ext_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join via bucketed candidates
+    (operators.joins.range_join): quantities matched into [p_size,
+    p_size+2] intervals with an equi-join on buckets + exact filter —
+    never a nested loop. Oracle is the plain inequality join."""
+    from kafka_etl_automation_spark.operators import joins
+
+    t = load_tables(spark, sf_dir, names=("lineitem", "part"))
+    points = t["lineitem"].select("l_quantity")
+    intervals = (
+        t["part"]
+        .select(
+            F.col("p_size").cast("double").alias("lo"),
+            (F.col("p_size") + 2).cast("double").alias("hi"),
+        )
+        .distinct()
+    )
+    joined = joins.range_join(
+        points, intervals, point_col="l_quantity", bucket_width=2.0
+    )
+    return joined.groupBy(
+        F.col("lo").cast("int").alias("lo"), F.col("hi").cast("int").alias("hi")
+    ).agg(F.count(F.lit(1)).alias("n_points"))
+
+
 @register(
     "ext_quantiles",
     """SELECT o_orderpriority,
