@@ -441,6 +441,77 @@ def ext_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.windowed_counts(t["events"], window_minutes=60)
 
 
+@register(
+    "ext_window_analytics",
+    """WITH w AS (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+                RANK() OVER (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+                LAG(o_totalprice) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey)
+                  AS prev_price,
+                LEAD(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey)
+                  AS next_price,
+                NTILE(4) OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice, o_orderkey) AS quartile
+         FROM orders)
+       SELECT * FROM w WHERE rnk <= 3""",
+)
+def ext_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window breadth beyond the reference's lone ROW_NUMBER:
+    rank / lag / lead / ntile in one pass (a single o_custkey window
+    shuffle serves all four — Spark reuses the partitioning across frames
+    with compatible ordering)."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, names=("orders",))
+    o = t["orders"]
+    w_price = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    w_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_tile = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w_price).alias("rnk"),
+            F.lag("o_totalprice").over(w_date).alias("prev_price"),
+            F.lead("o_totalprice").over(w_date).alias("next_price"),
+            F.ntile(4).over(w_tile).alias("quartile"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "ext_rollup",
+    """SELECT o_orderpriority, o_orderstatus,
+              COUNT(*) AS n_orders,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS revenue
+       FROM orders
+       GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
+)
+def ext_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchies (priority -> status -> grand total) — subtotal
+    levels the reference's Oracle SQL never used but any analytics consumer
+    of this engine expects; one aggregation pass produces all levels."""
+    t = load_tables(spark, sf_dir, names=("orders",))
+    return (
+        t["orders"]
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
 _ASOF_ORACLE = """
 WITH clicks AS (SELECT event_id, user_id, ts FROM events
                 WHERE event_type = 'click'),
