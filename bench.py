@@ -70,9 +70,13 @@ def main() -> int:
     spark = get_spark("bench")
     qs = entry_mod.queries()
 
-    # Warm the JVM/codegen paths once so per-query numbers measure the
-    # queries, not session startup.
+    # Warm the JVM/codegen paths AND the Arrow Python-worker pool once so
+    # per-query numbers measure the queries, not session/worker startup
+    # (first mapInPandas pays ~6s of worker spinup).
     qs["a1_minmax_nvl"](spark, sf_dir).collect()
+    spark.range(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
