@@ -41,6 +41,12 @@ def asof_join(
 
     Output: all left columns + ``right_cols`` (default: every non-key,
     non-ts right column) + ``matched_ts`` (the right row's timestamp).
+
+    Caveats (same as DuckDB/pandas asof semantics): rename right columns
+    that collide with left column names before joining (the output would
+    carry duplicates); if the right side has multiple rows at the same
+    (key, ts), which one wins is unspecified — pre-deduplicate to the
+    intended row.
     """
     right_cols = (
         right_cols

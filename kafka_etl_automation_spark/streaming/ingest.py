@@ -308,7 +308,18 @@ def run_file_ingest(
 
 
 def read_audit(spark: SparkSession, audit_path: str) -> DataFrame:
-    return spark.read.schema(AUDIT_SCHEMA).parquet(audit_path)
+    """Read the offset audit, deduplicated by (topic, partition, batch_id).
+
+    foreachBatch is at-least-once on crash/restart: a replayed batch
+    re-writes its bronze dir idempotently (mode=overwrite per batch dir)
+    but appends a SECOND audit row. The batch id is the dedup key —
+    replays carry identical offsets, so keeping one row per batch restores
+    exactly-once accounting for the T2/T3 checks."""
+    return (
+        spark.read.schema(AUDIT_SCHEMA)
+        .parquet(audit_path)
+        .dropDuplicates(["topic", "partition", "batch_id"])
+    )
 
 
 def contiguity_violations(audit: DataFrame, order_col: str = "batch_id") -> DataFrame:

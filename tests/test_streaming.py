@@ -75,6 +75,29 @@ def test_empty_batch_suppression(spark, tmp_root):
     assert all(r.file_processing_status == 0 and r.file_name == "" for r in rows)
 
 
+def test_audit_dedupes_replayed_batches(spark, tmp_root):
+    """A crash-replayed foreachBatch appends a second audit row for the
+    same batch; read_audit must collapse it so T2/T3 stay exact."""
+    src = os.path.join(tmp_root, "src")
+    _write_batch_file(spark, src, 0, 30, "a")
+    res = _run(spark, tmp_root, src)
+    assert res.n_records == 30
+    audit_path = os.path.join(tmp_root, "audit")
+    # simulate the replay: duplicate one audit file
+    import shutil
+
+    f = next(
+        os.path.join(audit_path, n)
+        for n in os.listdir(audit_path)
+        if n.endswith(".parquet")
+    )
+    shutil.copy(f, f.replace(".parquet", "_replay.parquet"))
+    audit = ingest.read_audit(spark, audit_path)
+    assert audit.count() == 1  # deduped
+    cons = ingest.conservation_check(spark, audit, res.bronze_dirs).first()
+    assert cons.status == "PASS" and cons.audited_records == 30
+
+
 def test_progress_listener_records_offsets(spark, tmp_root):
     """S2 engine-level bookkeeping: the StreamingQueryListener lands one
     progress row per micro-batch with source offsets and rows."""
