@@ -74,6 +74,7 @@ def main() -> int:
             continue
         t0 = time.time()
         sdf = fn(spark, sf_dir).toPandas()
+        spark.catalog.clearCache()  # LSH ops persist() multi-branch frames
         if name not in oracles:
             no_oracle.append(name)
             print(f"  {name:28s} rows={len(sdf):>7} (rows-only, no oracle) "
