@@ -9,8 +9,11 @@ shuffles — no cross products, no Python.
   ``right.ts <= left.ts`` per key — the point-in-time lookup (join events
   to the dim state that was current when the event happened). Implemented
   with the union trick: tag both sides, sort within key by (ts, side),
-  carry the last right values forward with ``last(..., ignorenulls)`` over
-  an unbounded-preceding window, keep left rows. One shuffle on the key.
+  carry the last right ROW forward as one struct with
+  ``last(..., ignorenulls)`` over an unbounded-preceding window, keep left
+  rows. One shuffle on the key. The struct is carried atomically, so a
+  matched row's NULL attribute can never be backfilled from an older row
+  (each output row's values and matched_ts come from the same right row).
 
 - ``range_join``: points joined to containing [lo, hi] intervals without a
   nested loop: intervals explode into fixed-width buckets, points key into
@@ -42,72 +45,79 @@ def asof_join(
     Output: all left columns + ``right_cols`` (default: every non-key,
     non-ts right column) + ``matched_ts`` (the right row's timestamp).
 
-    Caveats (same as DuckDB/pandas asof semantics): rename right columns
-    that collide with left column names before joining (the output would
-    carry duplicates); if the right side has multiple rows at the same
-    (key, ts), which one wins is unspecified — pre-deduplicate to the
-    intended row.
+    SQL ON-equality semantics for NULLs (matches DuckDB ASOF): NULL join
+    keys never match (left NULL-key rows come back unmatched; right
+    NULL-key rows are ignored), and right rows with NULL ``ts_col`` can
+    never be "prior" to anything, so they are ignored too.
+
+    Caveats: rename right columns that collide with left column names
+    before joining (the output would carry duplicates); if the right side
+    has multiple rows at the same (key, ts), which one wins is unspecified
+    — pre-deduplicate to the intended row.
     """
     right_cols = (
         right_cols
         if right_cols is not None
         else [c for c in right.columns if c not in (on, ts_col)]
     )
-    l_tagged = left.select(
+    # NULL-key left rows are unmatched by definition; set them aside and
+    # union back at the end (a window partition would group NULL keys
+    # together and fabricate matches).
+    left_null_key = left.filter(F.col(on).isNull())
+    left_ok = left.filter(F.col(on).isNotNull())
+    right_ok = right.filter(F.col(on).isNotNull() & F.col(ts_col).isNotNull())
+
+    rstruct = F.struct(
+        F.col(ts_col).alias("matched_ts"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    l_tagged = left_ok.select(
         F.col(on).alias("_k"),
         F.col(ts_col).alias("_ts"),
         F.lit(1).alias("_side"),  # left sorts AFTER right at equal ts
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
-        F.lit(None).cast(right.schema[ts_col].dataType).alias("_r_ts"),
+        F.lit(None).cast(
+            right_ok.select(rstruct.alias("_r")).schema["_r"].dataType
+        ).alias("_r"),
     )
-    r_tagged = right.select(
+    r_tagged = right_ok.select(
         F.col(on).alias("_k"),
         F.col(ts_col).alias("_ts"),
         F.lit(0).alias("_side"),
-        F.lit(None).cast(
-            l_tagged.schema["_lrow"].dataType
-        ).alias("_lrow"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
-        F.col(ts_col).alias("_r_ts"),
+        F.lit(None)
+        .cast(l_tagged.schema["_lrow"].dataType)
+        .alias("_lrow"),
+        rstruct.alias("_r"),
     )
-    unioned = l_tagged.unionByName(r_tagged)
     w = (
         Window.partitionBy("_k")
         .orderBy("_ts", "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
+    # the whole right row carries as ONE value: values and matched_ts are
+    # always from the same row, and a NULL attribute inside it stays NULL
+    carried = l_tagged.unionByName(r_tagged).select(
         "_side",
         "_lrow",
         "_ts",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
-            for c in right_cols
-        ],
-        F.last("_r_ts", ignorenulls=True).over(w).alias("matched_ts"),
+        F.last("_r", ignorenulls=True).over(w).alias("_m"),
     ).filter(F.col("_side") == 1)
     if tolerance_seconds is not None:
-        in_tol = (
-            F.col("matched_ts").isNotNull()
-            & (
-                F.col("_ts").cast("long") - F.col("matched_ts").cast("long")
-                <= tolerance_seconds
-            )
+        # double-precision seconds: cast('long') would truncate sub-second
+        # age and admit matches up to ~1s past the cutoff
+        age = F.col("_ts").cast("double") - F.col("_m.matched_ts").cast("double")
+        carried = carried.withColumn(
+            "_m", F.when(age <= F.lit(float(tolerance_seconds)), F.col("_m"))
         )
-        carried = carried.select(
-            "_lrow",
-            *[
-                F.when(in_tol, F.col(f"_c_{c}")).alias(f"_c_{c}")
-                for c in right_cols
-            ],
-            F.when(in_tol, F.col("matched_ts")).alias("matched_ts"),
-        )
-    return carried.select(
+    matched = carried.select(
         F.col("_lrow.*"),
-        *[F.col(f"_c_{c}").alias(c) for c in right_cols],
-        "matched_ts",
+        *[F.col(f"_m.{c}").alias(c) for c in right_cols],
+        F.col("_m.matched_ts").alias("matched_ts"),
     )
+    null_schema_cols = [
+        F.lit(None).cast(right_ok.schema[c].dataType).alias(c) for c in right_cols
+    ] + [F.lit(None).cast(right_ok.schema[ts_col].dataType).alias("matched_ts")]
+    return matched.unionByName(left_null_key.select("*", *null_schema_cols))
 
 
 def range_join(
@@ -127,6 +137,11 @@ def range_join(
     interval width. ``how='left'`` keeps unmatched points with NULL
     interval columns.
     """
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be > 0, got {bucket_width}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join supports inner/left, got {how!r}")
+
     pb = points.withColumn(
         "_bucket", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
     )
@@ -144,14 +159,20 @@ def range_join(
     )
     if how == "inner":
         return pb.join(iv, "_bucket").filter(contained).drop("_bucket")
-    if how == "left":
-        matched = pb.join(iv, "_bucket").filter(contained).drop("_bucket")
-        unmatched = pb.drop("_bucket").join(
-            matched.select(*points.columns), points.columns, "left_anti"
-        )
-        for c in intervals.columns:
-            unmatched = unmatched.withColumn(
-                c, F.lit(None).cast(intervals.schema[c].dataType)
-            )
-        return matched.unionByName(unmatched)
-    raise ValueError(f"range_join supports inner/left, got {how!r}")
+
+    # left: a unique surrogate id makes the unmatched anti-join null-safe
+    # (anti-joining on the data columns would re-emit matched rows that
+    # carry NULLs, since NULL = NULL is never true)
+    pid = points.withColumn("_pid", F.monotonically_increasing_id())
+    pb = pid.withColumn(
+        "_bucket", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
+    )
+    matched = pb.join(iv, "_bucket").filter(contained).drop("_bucket")
+    unmatched = pid.join(matched.select("_pid"), "_pid", "left_anti").select(
+        "*",
+        *[
+            F.lit(None).cast(intervals.schema[c].dataType).alias(c)
+            for c in intervals.columns
+        ],
+    )
+    return matched.unionByName(unmatched).drop("_pid")

@@ -312,13 +312,16 @@ def read_audit(spark: SparkSession, audit_path: str) -> DataFrame:
 
     foreachBatch is at-least-once on crash/restart: a replayed batch
     re-writes its bronze dir idempotently (mode=overwrite per batch dir)
-    but appends a SECOND audit row. The batch id is the dedup key —
-    replays carry identical offsets, so keeping one row per batch restores
-    exactly-once accounting for the T2/T3 checks."""
+    but appends a SECOND audit row. Replay rows are identical in every
+    accounting column (only batch_seconds differs), so the dedup key is
+    everything EXCEPT batch_seconds — a benign replay collapses to one
+    row, while rows that CONFLICT on offsets/counts (a real double-write
+    bug) both survive and still trip the T2/T3 checks."""
+    identity_cols = [f.name for f in AUDIT_SCHEMA.fields if f.name != "batch_seconds"]
     return (
         spark.read.schema(AUDIT_SCHEMA)
         .parquet(audit_path)
-        .dropDuplicates(["topic", "partition", "batch_id"])
+        .dropDuplicates(identity_cols)
     )
 
 
