@@ -51,6 +51,14 @@ BENCH_QUERIES = [
     "ext_token_counts",
     "ext_sessionize",
     "ext_windowed_counts",
+    "ext_asof_join",
+    "ext_range_join",
+    "ext_window_analytics",
+    "ext_rollup",
+    "ext_quantiles",
+    # NOT ext_dedup_clusters: built on the quadratic exact-pair verifier
+    "ext_salted_agg",
+    "ext_hash_split",
     "mm_image_features",
     "mm_frame_sample",
     "stream_file_ingest",
