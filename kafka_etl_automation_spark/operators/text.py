@@ -119,6 +119,52 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def top_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document — the classic keyword/topic signal
+    for corpus curation.
+
+    tf = term count in doc; idf = ln(N / docs containing term);
+    score = round(tf * idf, 6) BEFORE ranking so top-k membership is
+    engine-independent. Ties break by term (deterministic).
+
+    Plan shape: one token explode -> (doc, term) counts [shuffle 1] ->
+    document frequencies [shuffle 2, one row per distinct term] ->
+    broadcast-join idf back -> per-doc window top-k [shuffle 3 on doc].
+    All counts map-side combine; nothing driver-side except the scalar N.
+    """
+    from pyspark.sql import Window
+
+    from kafka_etl_automation_spark.operators.dedup import (
+        _fanout_rebalance,
+        tokens,
+    )
+
+    n_docs = df.count()  # one scalar; the reference point for idf
+    tf = (
+        _fanout_rebalance(df)
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "tfidf", "rank")
+    )
+
+
 def redact(col: Column | str) -> Column:
     """Training-data scrubbing: mask email addresses and long digit runs
     (the cheap regex tier in front of model-based PII detection). Pure

@@ -441,6 +441,37 @@ def ext_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.windowed_counts(t["events"], window_minutes=60)
 
 
+_TOP_TERMS_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tk WHERE term <> ''
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term), n
+), ranked AS (
+  SELECT doc_id, term, tf, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored)
+SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@register("ext_top_terms", _TOP_TERMS_ORACLE)
+def ext_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (operators.text.top_terms) — the
+    keyword extraction signal; round-before-rank keeps top-k membership
+    engine-independent."""
+    t = load_tables(spark, sf_dir, names=("documents",))
+    return text.top_terms(t["documents"], k=5)
+
+
 @register(
     "ext_window_analytics",
     """WITH w AS (
