@@ -200,6 +200,28 @@ def test_ivf_topk_subset_of_bruteforce(spark):
     assert all(len(v) <= 3 for v in per_q.values())
 
 
+def test_top_terms(spark):
+    df = docs_df(
+        spark,
+        [
+            (1, "spark spark spark common"),
+            (2, "duck duck common"),
+            (3, "common only here"),
+        ],
+    )
+    out = text.top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.term))
+    # distinctive terms outrank the corpus-wide 'common' (idf=0)
+    assert sorted(by_doc[1])[0] == (1, "spark")
+    assert sorted(by_doc[2])[0] == (1, "duck")
+    assert all(len(v) <= 2 for v in by_doc.values())
+    # idf of a term present in every doc is ln(1)=0
+    common = [r for r in out if r.term == "common"]
+    assert all(r.tfidf == 0.0 for r in common)
+
+
 def test_redact(spark):
     df = docs_df(spark, [(1, "mail me at a.b@example.com or call 12345678 x")])
     out = df.select(text.redact("text").alias("r")).first().r
