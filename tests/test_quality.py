@@ -57,6 +57,28 @@ def test_null_check_schema_driven(spark):
     assert quality.null_offenders(df, ["v"]).count() == 1
 
 
+def test_run_config_validations(spark):
+    """Config-table-driven validation loop (FACT_AUTOMATION §3.2): one
+    matching pair PASSes both checks, a drifted pair FAILs both."""
+    spark.range(10).createOrReplaceTempView("cfg_src")
+    spark.range(8).createOrReplaceTempView("cfg_tgt")
+    config = spark.createDataFrame(
+        [
+            ("self", "SELECT id FROM cfg_src", "SELECT id FROM cfg_src"),
+            ("drift", "SELECT id FROM cfg_src WHERE id >= :lo",
+             "SELECT id FROM cfg_tgt WHERE id >= :lo"),
+        ],
+        "check_name string, source_sql string, target_sql string",
+    )
+    out = {r.check_name: r.status
+           for r in quality.run_config_validations(
+               spark, config, params={"lo": 0}).collect()}
+    assert out == {
+        "self_count": "PASS", "self_diff": "PASS",
+        "drift_count": "FAIL", "drift_diff": "FAIL",
+    }
+
+
 def test_artifact_check(spark, tmp_root):
     assert quality.artifact_check(spark, tmp_root).first().status == "PASS"
     missing = quality.artifact_check(spark, tmp_root + "/nope", "f1").first()
