@@ -186,6 +186,54 @@ def hash_split(col: Column | str, train_pct: int = 90) -> Column:
     return F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("eval"))
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Rolling-hash document fingerprints by winnowing (the MOSS scheme):
+    hash every k-token gram, slide a window of ``window`` hashes, keep each
+    window's minimum, return the distinct minima per document.
+
+    Winnowing guarantees any shared run of >= k+window-1 tokens between
+    two documents produces at least one common fingerprint — the local
+    plagiarism/near-copy detector that whole-document hashes can't give.
+
+    Hashes are md5-derived 60-bit ints (first 15 hex chars), portable to
+    any SQL engine for differential testing. One projection + explode;
+    distinct minima shuffle one row per fingerprint.
+    """
+    from kafka_etl_automation_spark.operators.dedup import (
+        _fanout_rebalance,
+        tokens,
+    )
+
+    t = tokens(text_col)
+    n = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+    hashes = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+    )
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size(hashes) - (window - 1)),
+        lambda j: F.array_min(F.slice(hashes, j, window)),
+    )
+    guarded = F.when(n >= k + window - 1, mins).otherwise(
+        F.array().cast("array<long>")
+    )
+    return (
+        _fanout_rebalance(df)
+        .select(F.col(id_col), F.explode(F.array_distinct(guarded)).alias("fp"))
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content fingerprint: md5 over normalized text plus a 64-bit rolling
     xxhash — the join key for exact dedup and incremental re-crawl diffing."""

@@ -441,6 +441,38 @@ def ext_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.windowed_counts(t["events"], window_minutes=60)
 
 
+_WINNOW_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+), g AS (
+  SELECT doc_id,
+         [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+           AS grams
+  FROM toks WHERE len(t) >= 6
+), h AS (
+  SELECT doc_id,
+         [CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT) FOR x IN grams]
+           AS hs
+  FROM g
+), w AS (
+  SELECT doc_id,
+         list_distinct([list_min(hs[j:j+3]) FOR j IN range(1, len(hs) - 2)])
+           AS mins
+  FROM h WHERE len(hs) >= 4
+)
+SELECT doc_id, unnest(mins) AS fp FROM w
+"""
+
+
+@register("ext_winnowing", _WINNOW_ORACLE)
+def ext_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (operators.text.
+    winnowing_fingerprints, k=3 window=4) — local near-copy detection;
+    md5-derived hashes make the oracle exact."""
+    t = load_tables(spark, sf_dir, names=("documents",))
+    return text.winnowing_fingerprints(t["documents"], k=3, window=4)
+
+
 _TOP_TERMS_ORACLE = f"""
 WITH tk AS (
   SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents

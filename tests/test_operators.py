@@ -200,6 +200,28 @@ def test_ivf_topk_subset_of_bruteforce(spark):
     assert all(len(v) <= 3 for v in per_q.values())
 
 
+def test_winnowing_shared_run_guarantee(spark):
+    """Any shared run of >= k+window-1 tokens must yield at least one
+    common fingerprint; short docs yield none."""
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7-token shared run
+    df = docs_df(
+        spark,
+        [
+            (1, f"intro words here {shared} tail one"),
+            (2, f"totally different prefix {shared} other ending"),
+            (3, "nothing in common with them at all whatsoever"),
+            (4, "too short"),
+        ],
+    )
+    fps = text.winnowing_fingerprints(df, k=3, window=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared run must produce a common fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert 4 not in by_doc  # below k+window-1 tokens
+
+
 def test_top_terms(spark):
     df = docs_df(
         spark,
