@@ -50,10 +50,13 @@ def sessionize(
         order.append(F.col(tiebreak_col))
     w = Window.partitionBy(user_col).orderBy(*order)
     gap = F.lit(gap_minutes * 60)
+    # gap arithmetic on DOUBLE epoch seconds — keeps fractional seconds, so
+    # session boundaries match an epoch()-based oracle by construction
+    # (cast("long") would truncate sub-second gaps; VERDICT r02 #1)
     flagged = events.withColumn(
         "new_session",
         F.when(
-            F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+            F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
             > gap,
             1,
         )

@@ -380,23 +380,21 @@ def ext_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SESSION_ORACLE = """
-WITH e AS (
-  SELECT user_id, event_id, epoch(ts) AS t FROM events
-), flagged AS (
-  SELECT user_id, t,
-         CASE WHEN t - LAG(t) OVER (PARTITION BY user_id
-                                    ORDER BY t, event_id) > 1800
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id) > 1800
               THEN 1 ELSE 0 END AS new_session
-  FROM e
+  FROM events
 ), seq AS (
-  SELECT user_id, t,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_seq
   FROM flagged
 )
 SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
-       to_timestamp(MIN(t)) AS session_start,
-       to_timestamp(MAX(t)) AS session_end,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
        COUNT(*) AS n_events
 FROM seq GROUP BY user_id, session_seq
 """

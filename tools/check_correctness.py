@@ -21,6 +21,32 @@ import pandas as pd
 sys.path.insert(0, "/root/repo")
 
 
+def dtype_sig(df: pd.DataFrame) -> list[str]:
+    """Canonical per-column type signature, tz-aware.
+
+    Integer/float widths are collapsed (the value hash already pins values)
+    but datetime kind, unit and TIMEZONE are kept verbatim: the driver's
+    schema gate distinguishes naive TIMESTAMP from TIMESTAMPTZ
+    (ext_sessionize, VERDICT r02 #1/#3), so this checker must too.
+    """
+    sig = []
+    for c in sorted(df.columns):
+        dt = df[c].dtype
+        kind = getattr(dt, "kind", None)
+        if kind in ("i", "u"):
+            sig.append(f"{c}:int")
+        elif kind == "f":
+            sig.append(f"{c}:float")
+        elif kind == "b":
+            sig.append(f"{c}:bool")
+        elif kind == "M":  # datetime64 — keep tz (None for naive) explicit
+            tz = getattr(dt, "tz", None)
+            sig.append(f"{c}:datetime[tz={tz}]")
+        else:
+            sig.append(f"{c}:{dt}")
+    return sig
+
+
 def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
     cols = sorted(df.columns)
     df = df[cols].copy()
@@ -69,9 +95,11 @@ def main() -> int:
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     failures, no_oracle = [], []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         sdf = fn(spark, sf_dir).toPandas()
         spark.catalog.clearCache()  # LSH ops persist() multi-branch frames
@@ -83,7 +111,8 @@ def main() -> int:
         ddf = con.execute(oracles[name]).df()
         sn, sc, sh = canon(sdf)
         dn, dc, dh = canon(ddf)
-        ok = (sn, sc, sh) == (dn, dc, dh)
+        st, dt_ = dtype_sig(sdf), dtype_sig(ddf)
+        ok = (sn, sc, sh, st) == (dn, dc, dh, dt_)
         status = "OK " if ok else "FAIL"
         print(f"  {name:28s} {status} rows={sn}/{dn} hash={sh}/{dh} "
               f"[{time.time()-t0:.1f}s]")
@@ -91,13 +120,16 @@ def main() -> int:
             failures.append(name)
             if sc != dc:
                 print(f"    cols spark={sc}\n    cols duck ={dc}")
+            elif st != dt_:
+                bad = [(a, b) for a, b in zip(st, dt_) if a != b]
+                print(f"    dtype mismatch: {bad}")
             elif sn == dn:
                 m = sdf[sorted(sdf.columns)].copy()
                 d = ddf[sorted(ddf.columns)].copy()
                 print(f"    dtypes spark={list(m.dtypes)}\n    dtypes duck ={list(d.dtypes)}")
                 print("    spark head:", m.head(3).to_dict("records"))
                 print("    duck  head:", d.head(3).to_dict("records"))
-    print(f"\n{len(qs) - len(failures) - len(no_oracle)} ok, "
+    print(f"\n{n_run - len(failures) - len(no_oracle)} ok, "
           f"{len(failures)} failed, {len(no_oracle)} rows-only")
     if failures:
         print("FAILED:", failures)
