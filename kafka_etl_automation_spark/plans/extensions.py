@@ -305,27 +305,50 @@ def ext_lsh_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_assign_cte(cent: str, extra_where: str = "", crank: str = "= 1") -> str:
+    """One Lloyd assignment step as SQL: broadcast-style argmax of round-6
+    cosine against centroid CTE ``cent``, cell-id tiebreak — mirrors
+    similarity.kmeans_centroids / ivf_topk.nearest_cells exactly."""
+    return f"""(
+  SELECT vec_id AS vid, e, cell FROM (
+    SELECT v.vec_id, v.e, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round({_ddot('v.e', 'c.ce')}
+                            / ({_dnrm('v.e')} * {_dnrm('c.ce')}), 6) DESC,
+                      c.cell ASC) AS crank
+    FROM v, {cent} c {extra_where}) WHERE crank {crank})"""
+
+
+def _kmeans_update_cte(asg: str) -> str:
+    """Lloyd update: element-wise mean via exact DECIMAL sums (order
+    independent) rounded to 8 dp — same arithmetic as the Spark side."""
+    return f"""(
+  SELECT cell, list(cv ORDER BY pos) AS ce FROM (
+    SELECT a.cell, t.i AS pos,
+           round(CAST(SUM(CAST(v.e[t.i] AS DECIMAL(30,10))) AS DOUBLE)
+                 / COUNT(*), 8) AS cv
+    FROM v JOIN {asg} a ON v.vec_id = a.vid,
+         UNNEST(range(1, len(v.e)+1)) AS t(i)
+    GROUP BY a.cell, t.i) GROUP BY cell)"""
+
+
+# IVF with real k-means centroids: 2 unrolled Lloyd iterations (assign ->
+# decimal-mean update), then final cell assignment + 2-probe search. Every
+# step is deterministic in both engines (see kmeans_centroids docstring),
+# so the iterative algorithm still gets a full hash-matched oracle.
 _IVF_ORACLE = f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-c AS (SELECT vec_id AS cell, e AS ce FROM v WHERE vec_id < 16),
+c0 AS (SELECT vec_id AS cell, e AS ce FROM v WHERE vec_id < 16),
+a0 AS {_kmeans_assign_cte('c0')},
+c1 AS {_kmeans_update_cte('a0')},
+a1 AS {_kmeans_assign_cte('c1')},
+c2 AS {_kmeans_update_cte('a1')},
 asg AS (
-  SELECT vec_id AS neighbor_id, e, cell FROM (
-    SELECT v.vec_id, v.e, c.cell,
-           ROW_NUMBER() OVER (
-             PARTITION BY v.vec_id
-             ORDER BY round({_ddot('v.e', 'c.ce')}
-                            / ({_dnrm('v.e')} * {_dnrm('c.ce')}), 6) DESC,
-                      c.cell ASC) AS crank
-    FROM v, c) WHERE crank = 1),
+  SELECT vid AS neighbor_id, e, cell FROM {_kmeans_assign_cte('c2')} final_a),
 qp AS (
-  SELECT vec_id AS query_id, e AS qe, cell FROM (
-    SELECT v.vec_id, v.e, c.cell,
-           ROW_NUMBER() OVER (
-             PARTITION BY v.vec_id
-             ORDER BY round({_ddot('v.e', 'c.ce')}
-                            / ({_dnrm('v.e')} * {_dnrm('c.ce')}), 6) DESC,
-                      c.cell ASC) AS crank
-    FROM v, c WHERE v.vec_id < 8) WHERE crank <= 2),
+  SELECT vid AS query_id, e AS qe, cell
+  FROM {_kmeans_assign_cte('c2', 'WHERE v.vec_id < 8', '<= 2')} probe_a),
 scored AS (
   SELECT qp.query_id, a.neighbor_id,
          round({_ddot('a.e', 'qp.qe')} / ({_dnrm('a.e')} * {_dnrm('qp.qe')}), 6)
@@ -342,16 +365,20 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 
 @register("ext_ivf_topk", _IVF_ORACLE)
 def ext_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (operators.similarity.ivf_topk): inverted-file
-    cells around deterministic centroid vectors, 2-probe search. Fully
-    deterministic construction -> real hash-matched oracle, unlike the
+    """IVF approximate top-k (operators.similarity.ivf_topk) around real
+    k-means centroids (similarity.kmeans_centroids, 2 deterministic Lloyd
+    iterations), 2-probe search. The whole iterative construction is
+    engine-reproducible -> full hash-matched oracle, unlike the
     probabilistic LSH variant."""
     t = load_tables(spark, sf_dir, names=("embeddings",))
     emb = t["embeddings"]
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=2)
+    cent = similarity.kmeans_centroids(emb, n_cells=16, iters=2)
+    return similarity.ivf_topk(
+        emb, queries, k=5, n_cells=16, n_probe=2, centroids=cent
+    )
 
 
 _TOKEN_COUNT_ORACLE = f"""

@@ -285,3 +285,63 @@ def test_multimodal_frame_sample_shape(spark):
 def test_multimodal_real_decode_is_marked_seam(spark):
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_real(None)
+
+
+def test_lsh_embedding_bucket_cap_bounds_degenerate_buckets(spark):
+    """Skew guard: a degenerate bucket (many identical embeddings) is
+    dropped before the self-join, so candidate generation stays bounded —
+    the 100 TB guard mirrored from dedup.minhash_lsh_pairs."""
+    rows = [(i, [1.0, 0.0, 0.0]) for i in range(40)]  # one degenerate bucket
+    rows += [(100, [0.0, 1.0, 0.05]), (101, [0.0, 1.0, 0.06])]  # honest pair
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = similarity.lsh_embedding_near_dup_pairs(
+        emb, threshold=0.9, num_planes=2, dim=3, max_bucket=10
+    ).collect()
+    # the 40 identical vectors (780 quadratic pairs) contribute nothing;
+    # the honest near-dup pair in a small bucket survives
+    assert all(r.id_a >= 100 for r in capped)
+    assert {(r.id_a, r.id_b) for r in capped} == {(100, 101)}
+    uncapped = similarity.lsh_embedding_near_dup_pairs(
+        emb, threshold=0.9, num_planes=2, dim=3, max_bucket=100_000
+    ).count()
+    assert uncapped >= 40 * 39 // 2  # quadratic without the cap
+
+
+def test_kmeans_ivf_recall_floor(spark):
+    """IVF over kmeans_centroids must recover >= 80% of the brute-force
+    top-k on a clusterable corpus (4 tight clusters, 2-probe search)."""
+    base = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+    ]
+    rows = []
+    for i in range(40):  # deterministic jitter around the cluster axes
+        rows.append(
+            (
+                i,
+                [
+                    x + 0.05 * (((i * 7 + j * 3) % 11) - 5) / 5.0
+                    for j, x in enumerate(base[i % 4])
+                ],
+            )
+        )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cent = similarity.kmeans_centroids(emb, n_cells=4, iters=2)
+    assert cent.count() <= 4
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(
+            emb, q, k=5, n_cells=4, n_probe=2, centroids=cent
+        ).collect()
+    }
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, q, k=5).collect()
+    }
+    recall = len(ivf & brute) / len(brute)
+    assert recall >= 0.8, recall
