@@ -29,8 +29,22 @@ from kafka_etl_automation_spark.plans.registry import register
 from kafka_etl_automation_spark.streaming import ingest
 
 
+_TMP_ROOT: str | None = None
+
+
 def _tmp(tag: str) -> str:
-    return tempfile.mkdtemp(prefix=f"kea_{tag}_")
+    """Fresh scratch dir under ONE per-process root that is removed at
+    interpreter exit — repeated gate/bench runs no longer accumulate
+    SF-sized table copies under /tmp (ADVICE r02). Dirs stay alive for the
+    whole process because returned frames read them lazily."""
+    global _TMP_ROOT
+    if _TMP_ROOT is None:
+        import atexit
+        import shutil
+
+        _TMP_ROOT = tempfile.mkdtemp(prefix="kea_lifecycle_")
+        atexit.register(shutil.rmtree, _TMP_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=f"{tag}_", dir=_TMP_ROOT)
 
 
 # ---------------------------------------------------------------------------
@@ -448,21 +462,29 @@ def pipeline_incremental_load(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_file_ingest",
     """SELECT COUNT(*) AS expected_offsets, COUNT(*) AS audited_records,
-              COUNT(*) AS landed_rows, 'PASS' AS status
+              COUNT(*) AS landed_rows, 'PASS' AS status,
+              CAST(5 AS BIGINT) AS n_batches,
+              CAST(1 AS BIGINT) AS n_empty_batches,
+              'PASS' AS t1_durations, 'PASS' AS t4_suppression
        FROM events""",
 )
 def stream_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1/S2/S4 + T3 conservation: drain the events table through a
-    micro-batch file stream (4 range-partitioned files, 1 file per batch)
-    into per-batch bronze dirs with an offset audit, then verify
-    sum(until-from+1) == audited records == landed rows
-    (Kafka_ArrivalToConform.sh:239-251)."""
+    """S1/S2/S4 + T1/T3/T4 contract: drain the events table through a
+    micro-batch file stream (4 range-partitioned files + 1 deliberately
+    empty file, 1 file per batch) into per-batch bronze dirs with an offset
+    audit, then verify sum(until-from+1) == audited records == landed rows
+    (T3, Kafka_ArrivalToConform.sh:239-251), every batch recorded a
+    duration (T1, :131-181), and the empty batch wrote no file (T4,
+    :286-318) — all folded into the one-row result so the driver gate
+    checks the full streaming contract, not just conservation."""
     events = load_table(spark, sf_dir, "events")
     root = _tmp("stream")
     src = os.path.join(root, "src")
     # Range partitioning keeps each file's event_ids contiguous, so the
     # offset arithmetic (until-from+1 == count) is exact per batch.
     events.repartitionByRange(4, "event_id").write.parquet(src)
+    # a zero-row file forces exactly one empty micro-batch -> exercises T4
+    events.limit(0).coalesce(1).write.mode("append").parquet(src)
     result = ingest.run_file_ingest(
         spark,
         source_dir=src,
@@ -484,7 +506,7 @@ def stream_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert ingest.contiguity_violations(audit, order_col="from_offset").isEmpty(), (
         "offset ranges must tile without gap/overlap (T2)"
     )
-    return ingest.conservation_check(spark, audit, result.bronze_dirs)
+    return ingest.streaming_contract_summary(spark, audit, result.bronze_dirs)
 
 
 @register(

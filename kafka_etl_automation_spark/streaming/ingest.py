@@ -349,12 +349,14 @@ def contiguity_violations(audit: DataFrame, order_col: str = "batch_id") -> Data
 
 
 def conservation_check(
-    spark: SparkSession, audit: DataFrame, bronze_dirs: list[str]
+    spark: SparkSession, audit: DataFrame, bronze_dirs: list[str],
+    fmt: str = "parquet",
 ) -> DataFrame:
     """T3: sum over batches of (until-from+1) == sum of n_records == rows
     landed in bronze (Kafka_ArrivalToConform.sh:239-251, 486-492). Returns
     a one-row lazy frame (expected_offsets, audited_records, landed_rows,
-    status)."""
+    status). ``fmt`` must match the ``run_file_ingest`` fmt that wrote the
+    bronze dirs (a json/csv ingest is re-read as json/csv)."""
     sums = audit.filter(F.col("n_records") > 0).agg(
         F.coalesce(
             F.sum(F.col("until_offset") - F.col("from_offset") + 1), F.lit(0)
@@ -363,7 +365,7 @@ def conservation_check(
     )
     if bronze_dirs:
         landed = (
-            spark.read.parquet(*bronze_dirs)
+            spark.read.format(fmt).load(list(bronze_dirs))
             .agg(F.count(F.lit(1)).alias("landed_rows"))
         )
     else:
@@ -380,3 +382,61 @@ def conservation_check(
         .otherwise(F.lit("FAIL"))
         .alias("status"),
     )
+
+
+def streaming_contract_summary(
+    spark: SparkSession,
+    audit: DataFrame,
+    bronze_dirs: list[str],
+    fmt: str = "parquet",
+) -> DataFrame:
+    """One-row T1+T3+T4 contract summary over an ingest run's audit table:
+    the conservation columns (T3) plus
+
+    - ``n_batches`` / ``n_empty_batches``: micro-batch accounting;
+    - ``t1_durations``: PASS iff every batch recorded a non-null,
+      non-negative ``batch_seconds`` (T1 micro-batch duration,
+      Kafka_ArrivalToConform.sh:131-181);
+    - ``t4_suppression``: PASS iff every zero-record batch logged
+      ``file_processing_status=0`` with an empty ``file_name`` — i.e. no
+      file written for an empty batch (T4,
+      Kafka_ArrivalToConform.sh:286-318).
+
+    Both aggregate frames are one row; the crossJoin is a constant-size
+    broadcast, never a data-plane cartesian."""
+    t = audit.agg(
+        F.count(F.lit(1)).alias("n_batches"),
+        F.sum(F.when(F.col("n_records") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_empty_batches"),
+        F.when(
+            F.sum(
+                F.when(
+                    F.col("batch_seconds").isNull()
+                    | (F.col("batch_seconds") < 0),
+                    1,
+                ).otherwise(0)
+            )
+            == 0,
+            F.lit("PASS"),
+        )
+        .otherwise(F.lit("FAIL"))
+        .alias("t1_durations"),
+        F.when(
+            F.sum(
+                F.when(
+                    (F.col("n_records") == 0)
+                    & (
+                        (F.col("file_processing_status") != 0)
+                        | (F.col("file_name") != "")
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            == 0,
+            F.lit("PASS"),
+        )
+        .otherwise(F.lit("FAIL"))
+        .alias("t4_suppression"),
+    )
+    return conservation_check(spark, audit, bronze_dirs, fmt).crossJoin(t)

@@ -160,3 +160,39 @@ def test_checkpoint_no_reprocessing(spark, tmp_root):
     assert r3.n_records == 30  # only the new file
     audit = ingest.read_audit(spark, os.path.join(tmp_root, "audit"))
     assert ingest.contiguity_violations(audit, order_col="from_offset").isEmpty()
+
+
+def test_contract_summary_json_fmt(spark, tmp_root):
+    """streaming_contract_summary threads fmt through to the bronze re-read
+    (a json ingest must not be re-read as parquet) and reports T1/T4."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    src = os.path.join(tmp_root, "src")
+    (
+        spark.range(0, 40)
+        .select(F.col("id").alias("event_id"), (F.col("id") * 2.0).alias("value"))
+        .coalesce(1)
+        .write.mode("append")
+        .json(src)
+    )
+    spark.range(0).select(
+        F.col("id").alias("event_id"), F.lit(0.0).alias("value")
+    ).coalesce(1).write.mode("append").json(src)
+    res = ingest.run_file_ingest(
+        spark,
+        source_dir=src,
+        schema=_parse_datatype_string("event_id long, value double"),
+        bronze_base=os.path.join(tmp_root, "bronze"),
+        audit_path=os.path.join(tmp_root, "audit"),
+        checkpoint_dir=os.path.join(tmp_root, "ckpt"),
+        topic="t",
+        run_id=1,
+        fmt="json",
+    )
+    audit = ingest.read_audit(spark, os.path.join(tmp_root, "audit"))
+    row = ingest.streaming_contract_summary(
+        spark, audit, res.bronze_dirs, fmt="json"
+    ).first()
+    assert row.status == "PASS" and row.landed_rows == 40
+    assert row.n_empty_batches >= 1
+    assert row.t1_durations == "PASS" and row.t4_suppression == "PASS"
