@@ -104,12 +104,52 @@ class HwmWindow:
 class JobRegistry:
     """Run registry backed by parquet control tables under ``root``."""
 
+    LOCK_TIMEOUT = 10.0  # seconds to wait for .registry.lock before raising
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
 
     # -- storage ------------------------------------------------------------
+
+    def _lock(self):
+        """Exclusive advisory lock around read-modify-write registry
+        mutations (O_CREAT|O_EXCL lock file). Two concurrent orchestrators
+        would otherwise both read MAX(job_run_id), allocate the same run id
+        and silently clobber each other's finish_run; with the lock the
+        second caller waits, and a crashed holder surfaces as a loud
+        timeout (delete the stale .registry.lock to recover) instead of
+        corrupted lineage (ADVICE r02)."""
+        import contextlib
+        import time as _time
+
+        lock_path = os.path.join(self.root, ".registry.lock")
+
+        @contextlib.contextmanager
+        def _held():
+            deadline = _time.monotonic() + self.LOCK_TIMEOUT
+            while True:
+                try:
+                    fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    break
+                except FileExistsError:
+                    if _time.monotonic() > deadline:
+                        raise TimeoutError(
+                            f"registry lock {lock_path} held for "
+                            f">{self.LOCK_TIMEOUT}s — "
+                            "another orchestrator is mutating the registry, "
+                            "or a crashed holder left a stale lock file"
+                        ) from None
+                    _time.sleep(0.05)
+            try:
+                os.write(fd, str(os.getpid()).encode())
+                yield
+            finally:
+                os.close(fd)
+                os.unlink(lock_path)
+
+        return _held()
 
     def _path(self, name: str) -> str:
         # single parquet FILE, not a directory: os.replace of a file is
@@ -157,25 +197,26 @@ class JobRegistry:
         """Allocate the next run id for ``job_name`` and record it running
         (status 0). NVL(MAX(job_run_id),0)+1, as the reference computes it
         (Kafka_MultipleTables.sh:101-105)."""
-        ctl = self._control_pd()
-        mine = ctl[ctl["job_name"] == job_name]
-        run_id = int(mine["job_run_id"].max()) + 1 if len(mine) else 1
-        new = pd.DataFrame(
-            [
-                {
-                    "job_name": job_name,
-                    "job_run_id": run_id,
-                    "job_run_status": 0,
-                    "job_start_ts": pd.Timestamp.now(),
-                    "job_end_ts": pd.NaT,
-                    "reprocess_flag": 0,
-                    "records_processed": None,
-                }
-            ]
-        ).astype({"job_end_ts": "datetime64[us]", "records_processed": "Int64"})
-        merged = new if not len(ctl) else pd.concat([ctl, new], ignore_index=True)
-        self._write_pd(merged, "job_process_control", _CONTROL_PA)
-        return run_id
+        with self._lock():
+            ctl = self._control_pd()
+            mine = ctl[ctl["job_name"] == job_name]
+            run_id = int(mine["job_run_id"].max()) + 1 if len(mine) else 1
+            new = pd.DataFrame(
+                [
+                    {
+                        "job_name": job_name,
+                        "job_run_id": run_id,
+                        "job_run_status": 0,
+                        "job_start_ts": pd.Timestamp.now(),
+                        "job_end_ts": pd.NaT,
+                        "reprocess_flag": 0,
+                        "records_processed": None,
+                    }
+                ]
+            ).astype({"job_end_ts": "datetime64[us]", "records_processed": "Int64"})
+            merged = new if not len(ctl) else pd.concat([ctl, new], ignore_index=True)
+            self._write_pd(merged, "job_process_control", _CONTROL_PA)
+            return run_id
 
     def finish_run(
         self, job_name: str, run_id: int, status: int = 1, records: int | None = None
@@ -183,13 +224,14 @@ class JobRegistry:
         """Mark a run finished (1 success / 2 failed) and stamp job_end_ts —
         the reference's post-load control UPDATE
         (KafkaScript_ConformToStaging.sh:186-199)."""
-        ctl = self._control_pd()
-        hit = (ctl["job_name"] == job_name) & (ctl["job_run_id"] == run_id)
-        ctl.loc[hit, "job_run_status"] = status
-        ctl.loc[hit, "job_end_ts"] = pd.Timestamp.now()
-        if records is not None:
-            ctl.loc[hit, "records_processed"] = records
-        self._write_pd(ctl, "job_process_control", _CONTROL_PA)
+        with self._lock():
+            ctl = self._control_pd()
+            hit = (ctl["job_name"] == job_name) & (ctl["job_run_id"] == run_id)
+            ctl.loc[hit, "job_run_status"] = status
+            ctl.loc[hit, "job_end_ts"] = pd.Timestamp.now()
+            if records is not None:
+                ctl.loc[hit, "records_processed"] = records
+            self._write_pd(ctl, "job_process_control", _CONTROL_PA)
 
     def latest_success(self, job_name: str) -> int | None:
         """Latest successful run id — the 'current state' lookup the
@@ -209,10 +251,11 @@ class JobRegistry:
 
     def mark_reprocess(self, job_name: str, run_id: int) -> None:
         """M2: UPDATE ... SET REPROCESS_FLAG=1 (rerunnability.sh:85-89)."""
-        ctl = self._control_pd()
-        hit = (ctl["job_name"] == job_name) & (ctl["job_run_id"] == run_id)
-        ctl.loc[hit, "reprocess_flag"] = 1
-        self._write_pd(ctl, "job_process_control", _CONTROL_PA)
+        with self._lock():
+            ctl = self._control_pd()
+            hit = (ctl["job_name"] == job_name) & (ctl["job_run_id"] == run_id)
+            ctl.loc[hit, "reprocess_flag"] = 1
+            self._write_pd(ctl, "job_process_control", _CONTROL_PA)
 
     # -- incremental windows (T6) -------------------------------------------
 
@@ -243,20 +286,21 @@ class JobRegistry:
         self, job_name: str, run_id: int, src_job_name: str, window: HwmWindow
     ) -> None:
         """Advance the high-water mark: remember the window this run took."""
-        src = self._src_pd()
-        new = pd.DataFrame(
-            [
-                {
-                    "job_name": job_name,
-                    "job_run_id": run_id,
-                    "src_job_name": src_job_name,
-                    "min_src_run_id": window.min_run_id,
-                    "max_src_run_id": window.max_run_id,
-                }
-            ]
-        )
-        merged = new if not len(src) else pd.concat([src, new], ignore_index=True)
-        self._write_pd(merged, "job_process_control_src", _SRC_PA)
+        with self._lock():
+            src = self._src_pd()
+            new = pd.DataFrame(
+                [
+                    {
+                        "job_name": job_name,
+                        "job_run_id": run_id,
+                        "src_job_name": src_job_name,
+                        "min_src_run_id": window.min_run_id,
+                        "max_src_run_id": window.max_run_id,
+                    }
+                ]
+            )
+            merged = new if not len(src) else pd.concat([src, new], ignore_index=True)
+            self._write_pd(merged, "job_process_control_src", _SRC_PA)
 
 
 def apply_window(df: DataFrame, window: HwmWindow, run_col: str = "job_run_id") -> DataFrame:

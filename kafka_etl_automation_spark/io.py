@@ -110,3 +110,84 @@ def write_conformed(
         .format(fmt)
         .save(path)
     )
+
+
+def jdbc_reader(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+    fetch_size: int = 10_000,
+    predicate: str | None = None,
+    properties: dict[str, str] | None = None,
+):
+    """S7 relational scan over JDBC — the reference reads its staging and
+    dim tables from 4 Oracle connections (Kafka_MultipleTables.sh:204,
+    Kafka_3NF.sh:234); this dev environment has no database, so the builder
+    is CONSTRUCTED and option-tested but executed only on clusters with a
+    JDBC driver on the classpath (same pattern as the Kafka source
+    builders in streaming/ingest.py).
+
+    Returns an un-loaded ``DataFrameReader`` — call ``.load()`` where a
+    database exists. Scale notes baked into the options:
+
+    - ``partitionColumn``/bounds/``numPartitions`` split the scan into
+      parallel range queries (without them a JDBC read is ONE task — the
+      classic single-connection bottleneck);
+    - ``fetchsize`` batches row transfer (Oracle's default 10 rows would
+      round-trip per-row at 100 TB);
+    - a pushed ``predicate`` lands in the generated WHERE clause
+      database-side, mirroring Catalyst's filter pushdown on parquet.
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", f"({predicate}) src" if predicate else table)
+        .option("fetchsize", str(fetch_size))
+    )
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partition_column requires lower_bound and upper_bound"
+            )
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader
+
+
+def jdbc_writer(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batch_size: int = 10_000,
+    num_partitions: int | None = None,
+    properties: dict[str, str] | None = None,
+):
+    """S7 relational sink over JDBC (the reference's conform->staging Oracle
+    loads, KafkaScript_ConformToStaging.sh). Returns an un-saved
+    ``DataFrameWriter`` — call ``.save()`` where a database exists.
+
+    ``batchsize`` controls rows per INSERT round-trip; ``num_partitions``
+    caps concurrent connections (a 1000-executor write would otherwise open
+    1000 sessions against the database)."""
+    out = df.coalesce(num_partitions) if num_partitions else df
+    writer = (
+        out.write.format("jdbc")
+        .mode(mode)
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    return writer

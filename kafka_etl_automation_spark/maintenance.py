@@ -4,7 +4,8 @@ Streaming ingest and per-run partitioned writes (scd.append_run, the
 bronze sink) produce many small files over time; at 100 TB, scan
 performance degrades with file count (driver listing, task scheduling,
 row-group overhead). ``compact`` rewrites a parquet directory into
-~target-sized files with an atomic directory swap, preserving the data
+~target-sized files and swaps it in (two renames with crash recovery — see
+``compact``'s docstring for the exact guarantees), preserving the data
 byte-for-byte (it is a pure re-layout; verified by the row-count check
 before the swap).
 """
@@ -31,6 +32,17 @@ def dir_stats(path: str) -> tuple[int, int]:
     return total, files
 
 
+def recover(path: str) -> bool:
+    """Restore a table stranded by a crash mid-swap: if ``path`` is absent
+    but ``<path>__precompact`` exists, rename it back. Returns True when a
+    recovery happened. Safe to call unconditionally (no-op otherwise)."""
+    old = path.rstrip("/") + "__precompact"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+        return True
+    return False
+
+
 def compact(
     spark: SparkSession,
     path: str,
@@ -43,8 +55,15 @@ def compact(
 
     Safety: the compacted copy is written beside the original and only
     swapped in after a row-count equality check — a failed rewrite leaves
-    the table untouched.
+    the table untouched. The swap itself is TWO renames, not atomic: a
+    crash between them leaves the table absent at ``path`` with the data
+    intact under ``<path>__precompact``; the next ``compact`` call (or
+    ``recover``) detects the lingering dir and restores it before doing
+    anything else. Concurrent readers during the swap window can fail —
+    schedule compaction in a maintenance window, as the reference does for
+    its rebuild jobs.
     """
+    recover(path)
     # A hive-partitioned layout (name=value dirs) compacted WITHOUT
     # partitionBy would silently flatten the directory structure —
     # breaking partition pruning and scd.delete_run afterwards. Detect the
@@ -91,6 +110,10 @@ def compact(
             f"compaction row mismatch ({before} -> {after}); original kept"
         )
     old = path.rstrip("/") + "__precompact"
+    if os.path.exists(old):
+        # previous compact crashed AFTER its swap completed (path exists)
+        # but before cleanup — the lingering dir is superseded data
+        shutil.rmtree(old)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

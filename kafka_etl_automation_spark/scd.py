@@ -186,15 +186,19 @@ def append_run(df: DataFrame, path: str, run_id: int, run_col: str = "create_job
 def delete_run(spark: SparkSession, path: str, run_id: int, run_col: str = "create_job_run_id") -> None:
     """Remove one run's partition (the 'delete' half of delete-then-reload).
     Partition-pruned read + dynamic overwrite of an empty frame would not
-    drop the directory, so prune at the filesystem level via an overwrite
-    of the surviving partitions' metadata is avoided — instead read the
-    runs to keep is unnecessary: partition dirs are addressable directly."""
-    import shutil
-    import glob
+    drop the directory; partition dirs are addressable directly, so the
+    delete goes through the Hadoop FileSystem API — it resolves the path's
+    scheme (file://, hdfs://, s3a://), so the failed-run cleanup that
+    backs the no-duplicate-on-retry guarantee (rerunnability.sh:91-131)
+    works identically on local disk and on cluster storage (a local-FS
+    rmtree would silently no-op off local disk — ADVICE r02)."""
     import os
 
-    for d in glob.glob(os.path.join(path, f"{run_col}={run_id}")):
-        shutil.rmtree(d)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(os.path.join(path, f"{run_col}={run_id}"))
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
 
 
 def read_dim(spark: SparkSession, path: str) -> DataFrame:

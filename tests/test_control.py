@@ -64,3 +64,22 @@ def test_apply_window_prunes(spark):
     assert sorted(r.job_run_id for r in out.collect()) == [3, 4, 5]
     # the window filter must be pushdown-able (appears as a Filter on scan)
     assert "job_run_id" in out._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_registry_lock_blocks_and_times_out(spark, tmp_root):
+    """A held .registry.lock makes a second mutator wait; a stale one
+    surfaces as a loud TimeoutError instead of corrupted lineage."""
+    import os
+
+    import pytest
+
+    reg = JobRegistry(spark, tmp_root)
+    reg.LOCK_TIMEOUT = 0.3
+    lock = os.path.join(tmp_root, ".registry.lock")
+    with open(lock, "w") as f:
+        f.write("9999")  # simulate another orchestrator holding the lock
+    with pytest.raises(TimeoutError, match="registry lock"):
+        reg.start_run("job_a")
+    os.unlink(lock)
+    assert reg.start_run("job_a") == 1  # lock released -> proceeds
+    assert not os.path.exists(lock)  # and cleans up after itself

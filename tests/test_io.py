@@ -80,3 +80,37 @@ def test_render_template_identifiers():
         templating.render_template("SELECT ${nope} FROM t", {})
     with pytest.raises(ValueError):
         templating.render_template("SELECT ${c} FROM t", {"c": "1; DROP TABLE x"})
+
+
+def test_jdbc_reader_options_shape(spark):
+    """S7 JDBC builder: constructed (not executed — no database in this
+    env) with partitioned-scan options; bounds are mandatory with a
+    partition column."""
+    import pytest
+
+    from kafka_etl_automation_spark import io as kio
+
+    reader = kio.jdbc_reader(
+        spark,
+        url="jdbc:postgresql://db.example.com/warehouse",
+        table="staging.orders",
+        partition_column="o_orderkey",
+        lower_bound=0,
+        upper_bound=1_000_000,
+        num_partitions=16,
+        predicate="SELECT * FROM staging.orders WHERE o_totalprice > 0",
+    )
+    assert reader is not None  # builder constructed without touching a DB
+    with pytest.raises(ValueError, match="lower_bound"):
+        kio.jdbc_reader(spark, "jdbc:x://h/d", "t", partition_column="id")
+
+
+def test_jdbc_writer_options_shape(spark):
+    from kafka_etl_automation_spark import io as kio
+
+    df = spark.range(10).select(F.col("id").alias("k"))
+    writer = kio.jdbc_writer(
+        df, url="jdbc:postgresql://db.example.com/warehouse",
+        table="staging.sink", num_partitions=4,
+    )
+    assert writer is not None  # un-saved builder; .save() only on clusters

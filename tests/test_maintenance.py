@@ -56,3 +56,21 @@ def test_compact_partitioned_table(spark, tmp_root):
     assert sorted(
         d for d in os.listdir(path) if d.startswith("run=")
     ) == ["run=0", "run=1", "run=2"]
+
+
+def test_compact_recovers_stranded_table(spark, tmp_root):
+    """Crash between the two swap renames leaves data under __precompact;
+    recover() (called by compact) restores it before anything else."""
+    import os
+
+    from kafka_etl_automation_spark import maintenance
+
+    path = os.path.join(tmp_root, "t")
+    spark.range(100).write.parquet(path)
+    os.rename(path, path + "__precompact")  # simulate the crash window
+    assert maintenance.recover(path) is True
+    assert spark.read.parquet(path).count() == 100
+    # and compact itself self-heals when called on a stranded table
+    os.rename(path, path + "__precompact")
+    b, a = maintenance.compact(spark, path, target_mb=256)
+    assert spark.read.parquet(path).count() == 100
