@@ -99,7 +99,13 @@ def _fanout_rebalance(df: DataFrame) -> DataFrame:
     100 TB corpus that already scans wide passes through untouched."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        # JVM-side partition count: df.rdd would build the full
+        # javaToPython serializer pipeline per call (VERDICT r02 minor #5)
+        nparts = df._jdf.rdd().getNumPartitions()
+    except Exception:  # private-API drift -> the portable (slower) probe
+        nparts = df.rdd.getNumPartitions()
+    if nparts < target:
         return df.repartition(target)
     return df
 
