@@ -211,11 +211,12 @@ def kmeans_centroids(
                 6,
             ),
         )
-        w = Window.partitionBy("vid").orderBy(F.desc("csim"), F.asc("cell"))
-        asg = (
-            scored.withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") == 1)
-            .select("vid", "cell")
+        # argmax via max_by (partial-aggregable, map-side combine) instead
+        # of a row_number window — no sort shuffle of the N x n_cells
+        # frame; tiebreak on lowest cell id matches the oracle's
+        # ORDER BY csim DESC, cell ASC
+        asg = scored.groupBy("vid").agg(
+            F.max_by("cell", F.struct(F.col("csim"), -F.col("cell"))).alias("cell")
         )
         cent = (
             v.join(asg, "vid")
@@ -236,7 +237,14 @@ def kmeans_centroids(
                 ).alias("ce")
             )
         )
-    return cent.select("cell", F.col("ce").alias("cvec"))
+    # n_cells rows; persisted because callers (ivf_topk) reference the
+    # centroid frame from two plan branches (vector + query assignment) —
+    # without this the whole Lloyd lineage executes twice
+    from pyspark import StorageLevel
+
+    return cent.select("cell", F.col("ce").alias("cvec")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
 
 def ivf_topk(
@@ -277,6 +285,17 @@ def ivf_topk(
                 6,
             ),
         )
+        if n == 1:
+            # the hot path (every vector): max_by aggregation, partial
+            # combine, no sort shuffle; any_value is safe because the
+            # vector is constant within its group
+            return scored.groupBy(id_out).agg(
+                F.any_value(vec_out).alias(vec_out),
+                F.max_by("cell", F.struct(F.col("csim"), -F.col("cell"))).alias(
+                    "cell"
+                ),
+            ).select(id_out, vec_out, "cell")
+        # the probe path (queries only, tiny): top-n needs a ranking window
         w = Window.partitionBy(id_out).orderBy(F.desc("csim"), F.asc("cell"))
         return (
             scored.withColumn("crank", F.row_number().over(w))
