@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "ext_lsh_embedding_near_dup",
     "ext_ivf_topk",
     "ext_token_counts",
+    "ext_curation_pipeline",
     "ext_top_terms",
     "ext_sessionize",
     "ext_windowed_counts",

@@ -52,6 +52,7 @@ _PRIORITY = [
     "ext_ivf_topk",
     "ext_text_stats",
     "ext_token_counts",
+    "ext_curation_pipeline",
     "ext_asof_join",
     "ext_range_join",
     "ext_ngram_jaccard",
@@ -88,6 +89,13 @@ def _canonical_order() -> None:
     missing = [n for n in _PRIORITY if n not in QUERIES]
     if missing:  # loud: a renamed query must be renamed here too
         raise RuntimeError(f"_PRIORITY names unknown queries: {missing}")
+    if len(front) != 33:  # loud: a new query MUST be placed in _PRIORITY,
+        # or it silently lands ahead of the lifecycle parity block and
+        # pushes ★ operators out of the driver's 50-query window
+        raise RuntimeError(
+            f"unranked queries in front block ({len(front)} != 33 "
+            f"relational): add new registrations to _PRIORITY"
+        )
     ordered = {**front, **back}
     QUERIES.clear()
     QUERIES.update(ordered)

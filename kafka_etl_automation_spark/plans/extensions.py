@@ -731,6 +731,60 @@ def ext_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Composed curation pipeline: the same scoring/dedup/split expressions as
+# the individual oracles above, chained the way a pretraining-data job
+# runs them; QUALIFY keeps the canonical (min doc_id) copy per fingerprint.
+_CURATION_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, {_NORM} AS nt, string_split({_NORM}, ' ') AS t, text
+  FROM documents
+), st AS (
+  SELECT doc_id, nt, text,
+         len(t) AS n_tokens,
+         len(list_distinct(t)) / len(t) AS unique_ratio,
+         len(list_filter(t, x -> list_contains({_STOPS}, x))) / len(t)
+           AS stopword_ratio,
+         len(list_filter(t, x -> list_contains(['der','die','und','ein'], x))) AS s_de,
+         len(list_filter(t, x -> list_contains(['the','a','of','and'], x))) AS s_en,
+         len(list_filter(t, x -> list_contains(['el','los','y','una'], x))) AS s_es,
+         len(list_filter(t, x -> list_contains(['le','la','et','un'], x))) AS s_fr
+  FROM tk
+), sc AS (
+  SELECT doc_id,
+         CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+              WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+              WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+              WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+              ELSE 'fr' END AS lang,
+         n_tokens,
+         round(least(n_tokens / 100.0, 1.0) * 0.4 + unique_ratio * 0.3
+               + least(stopword_ratio * 5.0, 1.0) * 0.3, 6) AS quality,
+         md5(nt) AS fingerprint,
+         CASE WHEN ('0x' || substring(md5(text), 1, 8))::BIGINT % 100 < 90
+              THEN 'train' ELSE 'eval' END AS split
+  FROM st
+), flt AS (
+  SELECT * FROM sc
+  WHERE quality >= 0.4 AND lang IN ('en') AND n_tokens BETWEEN 12 AND 100000
+)
+SELECT doc_id, lang, n_tokens, quality, split
+FROM flt
+QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fingerprint)
+"""
+
+
+@register("ext_curation_pipeline", _CURATION_ORACLE)
+def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline (operators.curation.curate):
+    quality/lang/token scoring -> filters -> exact dedup keep-canonical ->
+    content-hash train/eval split, as ONE plan with a single
+    fingerprint-keyed shuffle; raw text never survives the scan."""
+    from kafka_etl_automation_spark.operators import curation
+
+    t = load_tables(spark, sf_dir, names=("documents",))
+    return curation.curate(t["documents"])
+
+
 @register(
     "ext_salted_agg",
     """SELECT o_custkey, COUNT(*) AS n_orders,

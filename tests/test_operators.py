@@ -345,3 +345,29 @@ def test_kmeans_ivf_recall_floor(spark):
     }
     recall = len(ivf & brute) / len(brute)
     assert recall >= 0.8, recall
+
+
+def test_curation_pipeline_semantics(spark):
+    """curate(): quality/lang/token filters drop bad docs, duplicate
+    content keeps only the canonical (min id) copy, split is content-keyed
+    (identical text -> identical split)."""
+    from kafka_etl_automation_spark.operators import curation
+
+    good = (
+        "the cat sat of the mat and a dog ran to the park in the morning "
+        "sun with a friendly smile and the birds sang of joy"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (7, good),  # exact duplicate -> only doc 1 survives
+            (3, "x y"),  # too short
+            (4, "der hund und die katze der ein und die der und ein die der und"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = curation.curate(
+        docs, min_quality=0.1, langs=("en",), min_tokens=5
+    ).collect()
+    assert [r.doc_id for r in rows] == [1]
+    assert rows[0].lang == "en" and rows[0].split in ("train", "eval")
