@@ -59,6 +59,7 @@ _PRIORITY = [
     "ext_simhash_pairs",
     "ext_embedding_near_dup",
     "ext_lsh_embedding_near_dup",
+    "ext_semantic_clusters",
     "ext_lsh_cosine_topk",
     "ext_quality_score",
     "ext_lang_id",

@@ -363,6 +363,44 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 """
 
 
+# Semantic-dedup endgame: connected components over the embedding-cosine
+# near-dup graph (exact pairs at the gate SF; at 100 TB the pair source
+# swaps to the LSH-bucketed variant — identical downstream plan). Oracle:
+# the same recursive-CTE reachability as ext_dedup_clusters over the
+# cosine pair predicate.
+_SEMANTIC_CLUSTER_ORACLE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE round({_ddot('a.e', 'b.e')} / ({_dnrm('a.e')} * {_dnrm('b.e')}), 6)
+        >= 0.4),
+e AS (SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+r AS (
+  WITH RECURSIVE reach(u, v) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT reach.u, e.v FROM reach JOIN e ON reach.v = e.u
+  ) SELECT * FROM reach)
+SELECT u AS vec_id, MIN(v) AS cluster_id FROM r GROUP BY u
+"""
+
+
+@register("ext_semantic_clusters", _SEMANTIC_CLUSTER_ORACLE)
+def ext_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup clusters: connected components over
+    cosine>=0.4 near-dup pairs; cluster id = min reachable vec id (keep
+    vec_id == cluster_id for the canonical set). Exact pair graph at gate
+    SF; the deployable source is lsh_embedding_near_dup_pairs (same CC)."""
+    t = load_tables(spark, sf_dir, names=("embeddings",))
+    emb = t["embeddings"]
+    pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.4)
+    return dedup.connected_components(
+        pairs, emb.select(F.col("vec_id")), id_col="vec_id"
+    )
+
+
 @register("ext_ivf_topk", _IVF_ORACLE)
 def ext_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (operators.similarity.ivf_topk) around real
