@@ -36,6 +36,9 @@ ALLOW = {
     # documented exact all-pairs verifier (id_a < id_b inequality join);
     # the deployable path is the bucketed ext_lsh_embedding_near_dup
     "ext_embedding_near_dup": {"CartesianProduct", "BroadcastNestedLoopJoin"},
+    # CC over the same exact verifier pair graph (gate-SF only; deployable
+    # pair source is lsh_embedding_near_dup_pairs — reviewed 2026-08-13)
+    "ext_semantic_clusters": {"CartesianProduct", "BroadcastNestedLoopJoin"},
     # centroid-assignment join broadcasts the n_cells centroid rows —
     # bounded small side by construction
     "ext_ivf_topk": {"BroadcastNestedLoopJoin"},
