@@ -79,3 +79,147 @@ def curate(
         )
         .select("r.doc_id", "r.lang", "r.n_tokens", "r.quality", "r.split")
     )
+
+
+def content_bucket(col, modulus: int = 100):
+    """Deterministic content-keyed bucket in [0, modulus): md5 first 8 hex
+    chars mod N — same formula as text.hash_split, portable to any engine."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % modulus
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its content
+    bucket falls below the stratum's percentage — the corpus-mixing
+    primitive (downsample boilerplate languages, keep all of rare ones).
+
+    Content-keyed (not Bernoulli-random), so the sample is reproducible
+    across runs/engines and stable under repartitioning — a re-crawled
+    duplicate lands in the same decision. Pure projection + filter: no
+    shuffle, fully pushdown-friendly at any scale."""
+    bucket = content_bucket(key_col, 100)
+    pct = F.lit(int(default_fraction * 100))
+    for value, frac in sorted(fractions.items()):
+        pct = F.when(F.col(strata_col) == value, F.lit(int(frac * 100))).otherwise(
+            pct
+        )
+    return df.filter(bucket < pct)
+
+
+def token_budget_select(
+    scored: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    quality_col: str = "quality",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy quality-ranked selection under a total token budget: take
+    documents in (quality DESC, id ASC) order while the running token sum
+    stays within ``budget`` — "the best B tokens" of a scored corpus.
+
+    Scale design — NO global sort window (a single-partition window over
+    the corpus is the classic scale-killer). Two passes instead:
+
+    1. aggregate token sums per distinct quality value (keyed shuffle,
+       map-side combine) -> tiny frame (one row per distinct score);
+       a driver-free running sum over it (window over the SMALL frame)
+       yields the quality CUTOFF: strata strictly above the cutoff fit
+       entirely, the boundary stratum fits partially.
+    2. whole strata above the cutoff pass through with a broadcast
+       semi-filter; only the BOUNDARY stratum (one quality value) runs a
+       window, partitioned on that single value's rows ordered by id —
+       partition-local, bounded by the largest tie group, not the corpus.
+
+    Exactly reproduces the naive global greedy (same order, same ties) —
+    the oracle computes it with one SUM OVER window and hashes must match.
+    """
+    per_q = scored.groupBy(quality_col).agg(
+        F.sum(token_col).cast("long").alias("q_tokens")
+    )
+    from pyspark.sql import Window
+
+    wq = Window.orderBy(F.desc(quality_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # running sum over the per-quality frame: one row per DISTINCT score —
+    # thousands of rows at most (scores are rounded to 6 dp), not corpus-
+    # sized; safe in a single partition.
+    ledger = per_q.withColumn("cum_tokens", F.sum("q_tokens").over(wq)).withColumn(
+        "prev_cum", F.col("cum_tokens") - F.col("q_tokens")
+    )
+    full = ledger.filter(F.col("cum_tokens") <= budget).select(quality_col)
+    boundary = ledger.filter(
+        (F.col("cum_tokens") > budget) & (F.col("prev_cum") <= budget)
+    ).select(quality_col, F.col("prev_cum"))
+
+    taken_full = scored.join(F.broadcast(full), quality_col, "semi")
+    wb = Window.partitionBy(quality_col).orderBy(F.asc(id_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    taken_boundary = (
+        scored.join(F.broadcast(boundary), quality_col)
+        .withColumn("in_cum", F.sum(token_col).over(wb) + F.col("prev_cum"))
+        .filter(F.col("in_cum") <= budget)
+        .drop("in_cum", "prev_cum")
+    )
+    return taken_full.unionByName(taken_boundary).select(
+        id_col, token_col, quality_col
+    )
+
+
+def cross_split_contamination(
+    documents: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+) -> DataFrame:
+    """Decontamination report: eval documents sharing a near-duplicate
+    relation with ANY train document. Exact duplicates can never cross the
+    content-keyed split (identical text -> identical bucket), so the real
+    leak channel is NEAR-duplicates — ``pairs`` is any (id_a, id_b) near-
+    dup pair frame (exact n-gram Jaccard as verifier, minhash-LSH at
+    scale). One keyed join of the pair list against the split projection;
+    output one row per contaminated eval doc with its worst train match.
+    """
+    splits = documents.select(
+        F.col(id_col).alias("sid"),
+        text.hash_split(text_col, train_pct).alias("split"),
+    )
+    tagged = (
+        pairs.join(
+            splits.withColumnRenamed("sid", "id_a").withColumnRenamed(
+                "split", "split_a"
+            ),
+            "id_a",
+        )
+        .join(
+            splits.withColumnRenamed("sid", "id_b").withColumnRenamed(
+                "split", "split_b"
+            ),
+            "id_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    eval_side = tagged.select(
+        F.when(F.col("split_a") == "eval", F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("eval_doc_id"),
+        F.when(F.col("split_a") == "eval", F.col("id_b"))
+        .otherwise(F.col("id_a"))
+        .alias("train_doc_id"),
+        F.col("jaccard"),
+    )
+    return eval_side.groupBy("eval_doc_id").agg(
+        F.max_by("train_doc_id", F.struct("jaccard", -F.col("train_doc_id"))).alias(
+            "worst_train_match"
+        ),
+        F.max("jaccard").alias("max_jaccard"),
+        F.count(F.lit(1)).cast("long").alias("n_train_matches"),
+    )

@@ -53,6 +53,9 @@ _PRIORITY = [
     "ext_text_stats",
     "ext_token_counts",
     "ext_curation_pipeline",
+    "ext_stratified_sample",
+    "ext_token_budget",
+    "ext_decontamination",
     "ext_asof_join",
     "ext_range_join",
     "ext_ngram_jaccard",

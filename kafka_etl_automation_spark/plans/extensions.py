@@ -769,6 +769,139 @@ def ext_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUCKET = "('0x' || substring(md5(text), 1, 8))::BIGINT % 100"
+
+_LANG_CASE = """
+         CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+              WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+              WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+              WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+              ELSE 'fr' END
+"""
+
+_STRATIFIED_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, text, string_split({_NORM}, ' ') AS t FROM documents
+), st AS (
+  SELECT doc_id, text,
+         len(list_filter(t, x -> list_contains(['der','die','und','ein'], x))) AS s_de,
+         len(list_filter(t, x -> list_contains(['the','a','of','and'], x))) AS s_en,
+         len(list_filter(t, x -> list_contains(['el','los','y','una'], x))) AS s_es,
+         len(list_filter(t, x -> list_contains(['le','la','et','un'], x))) AS s_fr
+  FROM tk
+), sc AS (SELECT doc_id, text, {_LANG_CASE} AS lang FROM st)
+SELECT doc_id, lang FROM sc
+WHERE {_BUCKET} < CASE lang WHEN 'en' THEN 50 WHEN 'und' THEN 100 ELSE 0 END
+"""
+
+
+@register("ext_stratified_sample", _STRATIFIED_ORACLE)
+def ext_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum corpus mixing (operators.curation.
+    stratified_sample): downsample the majority language to 50%, keep all
+    minority docs — content-keyed buckets, so the mix is reproducible and
+    repartition-stable; pure filter, no shuffle."""
+    from kafka_etl_automation_spark.operators import curation
+
+    t = load_tables(spark, sf_dir, names=("documents",))
+    d = t["documents"].select(
+        "doc_id", "text", text.lang_id("text").alias("lang")
+    )
+    return curation.stratified_sample(
+        d, "lang", {"en": 0.5, "und": 1.0}, key_col="text"
+    ).select("doc_id", "lang")
+
+
+_TOKEN_BUDGET_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, {_NORM} AS nt, string_split({_NORM}, ' ') AS t FROM documents
+), st AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         len(list_distinct(t)) / len(t) AS unique_ratio,
+         len(list_filter(t, x -> list_contains({_STOPS}, x))) / len(t)
+           AS stopword_ratio
+  FROM tk
+), q AS (
+  SELECT doc_id, n_tokens,
+         round(least(n_tokens / 100.0, 1.0) * 0.4 + unique_ratio * 0.3
+               + least(stopword_ratio * 5.0, 1.0) * 0.3, 6) AS quality
+  FROM st
+), w AS (
+  SELECT doc_id, n_tokens, quality,
+         SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM q)
+SELECT doc_id, n_tokens, quality FROM w WHERE cum <= 10000
+"""
+
+
+@register("ext_token_budget", _TOKEN_BUDGET_ORACLE)
+def ext_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-greedy selection under a 10k-token budget (operators.
+    curation.token_budget_select): two-pass cutoff design — per-quality
+    ledger + boundary-stratum window — reproducing the oracle's global
+    greedy EXACTLY without a corpus-wide sort window."""
+    from kafka_etl_automation_spark.operators import curation
+
+    t = load_tables(spark, sf_dir, names=("documents",))
+    scored = text.quality_score(t["documents"])
+    return curation.token_budget_select(scored, budget=10_000)
+
+
+_DECONTAM_ORACLE = (
+    _SHINGLES3
+    + f""", sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT i.id_a, i.id_b,
+               i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.2),
+      sp AS (
+        SELECT doc_id AS sid,
+               CASE WHEN {_BUCKET} < 90 THEN 'train' ELSE 'eval' END AS split
+        FROM documents),
+      tagged AS (
+        SELECT p.id_a, p.id_b, p.jaccard, a.split AS split_a, b.split AS split_b
+        FROM pairs p
+        JOIN sp a ON a.sid = p.id_a JOIN sp b ON b.sid = p.id_b
+        WHERE a.split <> b.split),
+      es AS (
+        SELECT CASE WHEN split_a = 'eval' THEN id_a ELSE id_b END AS eval_doc_id,
+               CASE WHEN split_a = 'eval' THEN id_b ELSE id_a END AS train_doc_id,
+               jaccard
+        FROM tagged)
+      SELECT eval_doc_id,
+             train_doc_id AS worst_train_match,
+             MAX(jaccard) OVER (PARTITION BY eval_doc_id) AS max_jaccard,
+             COUNT(*) OVER (PARTITION BY eval_doc_id) AS n_train_matches
+      FROM es
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY eval_doc_id
+                                 ORDER BY jaccard DESC, train_doc_id ASC) = 1"""
+)
+
+
+@register("ext_decontamination", _DECONTAM_ORACLE)
+def ext_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination (operators.curation.
+    cross_split_contamination): eval docs near-duplicating any train doc
+    (exact duplicates cannot cross a content-keyed split, so near-dups are
+    the leak channel). Pair source here is the exact Jaccard verifier; at
+    scale swap in minhash_lsh_pairs — identical downstream plan."""
+    from kafka_etl_automation_spark.operators import curation
+
+    t = load_tables(spark, sf_dir, names=("documents",))
+    docs = t["documents"]
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    return curation.cross_split_contamination(docs, pairs)
+
+
 # Composed curation pipeline: the same scoring/dedup/split expressions as
 # the individual oracles above, chained the way a pretraining-data job
 # runs them; QUALIFY keeps the canonical (min doc_id) copy per fingerprint.

@@ -371,3 +371,48 @@ def test_curation_pipeline_semantics(spark):
     ).collect()
     assert [r.doc_id for r in rows] == [1]
     assert rows[0].lang == "en" and rows[0].split in ("train", "eval")
+
+
+def test_token_budget_matches_naive_greedy(spark):
+    """Two-pass cutoff selection must reproduce the naive global greedy
+    exactly, including ties at the boundary quality value."""
+    from kafka_etl_automation_spark.operators import curation
+
+    rows = [
+        # (doc_id, n_tokens, quality) — quality ties at 0.5 cross the cut
+        (1, 40, 0.9),
+        (2, 40, 0.7),
+        (3, 30, 0.5),
+        (4, 30, 0.5),
+        (5, 30, 0.5),
+        (6, 50, 0.3),
+    ]
+    scored = spark.createDataFrame(
+        rows, "doc_id long, n_tokens long, quality double"
+    )
+    # budget 145: 40+40 full strata, boundary 0.5 fits docs 3 and 4 only
+    got = sorted(
+        r.doc_id
+        for r in curation.token_budget_select(scored, budget=145).collect()
+    )
+    assert got == [1, 2, 3, 4]
+    # budget below the first stratum -> empty; huge budget -> everything
+    assert curation.token_budget_select(scored, budget=39).count() == 0
+    assert curation.token_budget_select(scored, budget=10_000).count() == 6
+
+
+def test_stratified_sample_deterministic_and_bounded(spark):
+    from kafka_etl_automation_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i}", "en" if i % 5 else "fr") for i in range(200)],
+        "doc_id long, text string, lang string",
+    )
+    a = curation.stratified_sample(docs, "lang", {"en": 0.5}, key_col="text")
+    b = curation.stratified_sample(
+        docs.repartition(7), "lang", {"en": 0.5}, key_col="text"
+    )
+    ids_a = sorted(r.doc_id for r in a.collect())
+    assert ids_a == sorted(r.doc_id for r in b.collect())  # repartition-stable
+    assert 0 < len(ids_a) < 160  # ~50% of en, 0% of fr (default fraction)
+    assert all(docs.filter(F.col("doc_id").isin(ids_a[:5])).collect())
