@@ -242,3 +242,60 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.md5(normalized_text(text_col)).alias("fp_md5"),
         F.xxhash64(normalized_text(text_col)).alias("fp_xx64"),
     )
+
+
+def bigram_coherence(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-relative fluency score — the deterministic analog of
+    LM-perplexity quality filtering: per document, the average conditional
+    bigram probability P(w2|w1) = C(w1 w2)/C(w1 ·) estimated from the
+    corpus itself. Repetitive/templated text scores high, token-salad
+    scores low; the standard cheap filter between heuristics and a real
+    LM.
+
+    Determinism: each ratio is an IEEE-exact int/int division (identical
+    in any engine); the per-document mean goes through DECIMAL sums
+    (order-independent) and rounds to 6 dp — hash-stable under any
+    partitioning, like every aggregate in this repo.
+
+    Plan shape: one bigram explode -> corpus counts (two keyed,
+    map-side-combinable aggregations) -> ratio table joined back on
+    (w1, w2) -> per-doc decimal mean. At 100 TB the bigram count table is
+    itself large, so the join stays KEYED (no broadcast assumption);
+    every shuffle key is a bigram or a doc id — never skew-prone beyond
+    natural token skew, which the salted-agg operator handles if needed.
+
+    Returns (id_col, n_bigrams, coherence); docs with fewer than two tokens
+    yield no bigrams and therefore no output row.
+    """
+    toks = F.split(normalized_text(text_col), " ")
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.arrays_zip(
+            F.slice(toks, 1, n - 1).alias("w1"),
+            F.slice(toks, 2, n - 1).alias("w2"),
+        ),
+    ).otherwise(F.array())
+    bg = df.select(
+        F.col(id_col), F.explode(pairs).alias("p")
+    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    ratio = c2.join(c1, "w1").select(
+        "w1", "w2", (F.col("c2") / F.col("c1")).alias("r")
+    )
+    return (
+        bg.join(ratio, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("r").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("coherence"),
+        )
+    )

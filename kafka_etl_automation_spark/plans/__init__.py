@@ -55,6 +55,7 @@ _PRIORITY = [
     "ext_curation_pipeline",
     "ext_stratified_sample",
     "ext_token_budget",
+    "ext_bigram_coherence",
     "ext_decontamination",
     "ext_asof_join",
     "ext_range_join",

@@ -769,6 +769,38 @@ def ext_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Corpus-relative bigram fluency: IEEE-exact int/int ratios, decimal-sum
+# mean — the LM-perplexity-filter analog that stays engine-reproducible.
+_BIGRAM_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+), bg AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM tk, UNNEST(range(1, len(t))) AS r(i)
+  WHERE len(t) >= 2
+), c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+ratio AS (SELECT c2.w1, c2.w2, c2.c2 / c1.c1 AS r
+          FROM c2 JOIN c1 ON c2.w1 = c1.w1)
+SELECT bg.doc_id,
+       COUNT(*) AS n_bigrams,
+       round(CAST(SUM(CAST(ratio.r AS DECIMAL(38,18))) AS DOUBLE)
+             / COUNT(*), 6) AS coherence
+FROM bg JOIN ratio ON bg.w1 = ratio.w1 AND bg.w2 = ratio.w2
+GROUP BY bg.doc_id
+"""
+
+
+@register("ext_bigram_coherence", _BIGRAM_ORACLE)
+def ext_bigram_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative bigram fluency score (operators.text.
+    bigram_coherence): avg P(w2|w1) per document — the deterministic
+    LM-perplexity-filter analog; keyed joins only, no broadcast
+    assumption on the bigram table."""
+    t = load_tables(spark, sf_dir, names=("documents",))
+    return text.bigram_coherence(t["documents"])
+
+
 _BUCKET = "('0x' || substring(md5(text), 1, 8))::BIGINT % 100"
 
 _LANG_CASE = """

@@ -416,3 +416,23 @@ def test_stratified_sample_deterministic_and_bounded(spark):
     assert ids_a == sorted(r.doc_id for r in b.collect())  # repartition-stable
     assert 0 < len(ids_a) < 160  # ~50% of en, 0% of fr (default fraction)
     assert all(docs.filter(F.col("doc_id").isin(ids_a[:5])).collect())
+
+
+def test_bigram_coherence_bounds_and_ranking(spark):
+    """Fully templated text maxes out at 1.0; token-salad scores lower;
+    sub-2-token docs produce no row."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat the cat the cat"),  # rides the corpus-mode bigram
+            (2, "the dog runs"),             # (the,dog) rare given 'the'
+            (3, "the cat sleeps"),           # common start, rare continuation
+            (4, "x"),                        # no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in text.bigram_coherence(docs).collect()}
+    assert set(rows) == {1, 2, 3}
+    # templated text outscores both mixed docs; scores stay in (0, 1]
+    assert rows[1].coherence > rows[2].coherence > rows[3].coherence
+    assert all(0 < r.coherence <= 1 for r in rows.values())
+    assert rows[1].n_bigrams == 5 and rows[2].n_bigrams == 2
