@@ -299,3 +299,38 @@ def bigram_coherence(
             ).alias("coherence"),
         )
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Intra-document repetition signals (the Gopher-rule family):
+    duplicate-bigram fraction (1 - distinct/total) and the mode bigram's
+    share of the document — templated/spammy text lights up both.
+
+    dup fraction is a pure array projection (no shuffle); the mode share
+    needs per-(doc, bigram) counts -> two keyed, map-side-combinable
+    aggregations on (id, bigram) then (id). Docs with < 2 tokens yield no
+    row (no bigrams to judge).
+    """
+    toks = F.split(normalized_text(text_col), " ")
+    n = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("w1"), F.slice(toks, 2, n - 1).alias("w2")
+    )
+    base = df.filter(n >= 2).select(
+        F.col(id_col),
+        pairs.alias("bgs"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(pairs)) / F.size(pairs), 6
+        ).alias("dup_bigram_frac"),
+    )
+    counts = (
+        base.select(id_col, "dup_bigram_frac", F.explode("bgs").alias("bg"))
+        .groupBy(id_col, "dup_bigram_frac", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.groupBy(id_col, "dup_bigram_frac").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("mode_bigram_share"),
+    ).select(id_col, "n_bigrams", "dup_bigram_frac", "mode_bigram_share")

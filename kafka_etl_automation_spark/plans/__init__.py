@@ -56,6 +56,8 @@ _PRIORITY = [
     "ext_stratified_sample",
     "ext_token_budget",
     "ext_bigram_coherence",
+    "ext_repetition",
+    "ext_source_mix",
     "ext_decontamination",
     "ext_asof_join",
     "ext_range_join",

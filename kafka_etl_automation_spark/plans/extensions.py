@@ -769,6 +769,87 @@ def ext_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher-rule repetition signals: duplicate-bigram fraction is a pure list
+# projection; mode share via per-(doc,bigram) counts.
+_REPETITION_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+), bg AS (
+  SELECT doc_id, t[i] || chr(31) || t[i+1] AS bg
+  FROM tk, UNNEST(range(1, len(t))) AS r(i)
+  WHERE len(t) >= 2
+), dup AS (
+  SELECT doc_id,
+         round(1.0 - len(list_distinct(list(bg))) / len(list(bg)), 6)
+           AS dup_bigram_frac
+  FROM bg GROUP BY doc_id
+), cnt AS (
+  SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         round(MAX(c) / SUM(c), 6) AS mode_bigram_share
+  FROM cnt GROUP BY doc_id)
+SELECT agg.doc_id, agg.n_bigrams, dup.dup_bigram_frac, agg.mode_bigram_share
+FROM agg JOIN dup ON agg.doc_id = dup.doc_id
+"""
+
+
+@register("ext_repetition", _REPETITION_ORACLE)
+def ext_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition detection (operators.text.
+    repetition_stats): duplicate-bigram fraction + mode-bigram share —
+    the Gopher-style template/spam signal."""
+    t = load_tables(spark, sf_dir, names=("documents",))
+    return text.repetition_stats(t["documents"])
+
+
+# Per-source corpus-mix report: counts, token volume, mean quality by
+# provenance — the domain-level curation view.
+_SOURCE_MIX_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, source, {_NORM} AS nt, string_split({_NORM}, ' ') AS t
+  FROM documents
+), st AS (
+  SELECT doc_id, source,
+         len(t) AS n_tokens,
+         len(list_distinct(t)) / len(t) AS unique_ratio,
+         len(list_filter(t, x -> list_contains({_STOPS}, x))) / len(t)
+           AS stopword_ratio
+  FROM tk
+), q AS (
+  SELECT doc_id, source, n_tokens,
+         round(least(n_tokens / 100.0, 1.0) * 0.4 + unique_ratio * 0.3
+               + least(stopword_ratio * 5.0, 1.0) * 0.3, 6) AS quality
+  FROM st)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       round(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_quality
+FROM q GROUP BY source
+"""
+
+
+@register("ext_source_mix", _SOURCE_MIX_ORACLE)
+def ext_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance-level corpus mix (counts / token volume / mean quality
+    per source) — the domain-filtering dashboard every curation pipeline
+    keeps; one keyed aggregation, decimal-exact means."""
+    t = load_tables(spark, sf_dir, names=("documents",))
+    scored = text.quality_score(t["documents"]).join(
+        t["documents"].select("doc_id", "source"), "doc_id"
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_quality"),
+    )
+
+
 # Corpus-relative bigram fluency: IEEE-exact int/int ratios, decimal-sum
 # mean — the LM-perplexity-filter analog that stays engine-reproducible.
 _BIGRAM_ORACLE = f"""

@@ -109,3 +109,38 @@ def test_quality_checks_consistent(spark, rows):
     got = quality.dup_check(df, ["k", "v"]).first().status
     expect_dup = len({(k, v) for k, v in rows}) < len(rows)
     assert got == ("FAIL" if expect_dup else "PASS")
+
+
+budget_rows = st.lists(
+    st.tuples(
+        st.integers(1, 200),            # n_tokens
+        st.sampled_from([0.1, 0.25, 0.5, 0.5, 0.75, 0.9]),  # quality, tie-rich
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(rows=budget_rows, budget=st.integers(0, 800))
+@settings(**SETTINGS)
+def test_token_budget_matches_global_greedy(spark, rows, budget):
+    """For ANY scored corpus and budget, the two-pass cutoff selection must
+    equal the naive global greedy (order by quality DESC, id ASC, take
+    while running token sum <= budget) — including tie-heavy boundaries."""
+    from kafka_etl_automation_spark.operators import curation
+
+    scored_rows = [(i, n, q) for i, (n, q) in enumerate(rows)]
+    expected, cum = set(), 0
+    for i, n, q in sorted(scored_rows, key=lambda r: (-r[2], r[0])):
+        cum += n
+        if cum > budget:
+            break
+        expected.add(i)
+    scored = spark.createDataFrame(
+        scored_rows, "doc_id long, n_tokens long, quality double"
+    )
+    got = {
+        r.doc_id
+        for r in curation.token_budget_select(scored, budget=budget).collect()
+    }
+    assert got == expected
