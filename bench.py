@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "pipeline_incremental_load",
     "pipeline_arrival_to_dim",
     "ext_exact_dedup",
+    "ext_boilerplate",
     "ext_minhash_lsh",
     "ext_simhash_pairs",
     "ext_text_stats",

@@ -442,3 +442,85 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def boilerplate_span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicate-span removal — the C4 "repeated
+    three-sentence span" rule re-expressed for whitespace corpora: chop each
+    normalized document into NON-overlapping ``span``-word spans, find spans
+    that occur in >= ``min_docs`` distinct documents (boilerplate: headers,
+    footers, license blocks, templated chrome), and rebuild each document
+    with those spans dropped.
+
+    Returns one row per document: ``(id, n_spans, n_dup_spans,
+    dup_span_frac, clean_text)`` — the fraction doubles as a boilerplate
+    score for filtering.
+
+    Scale shape (the reason this survives 100 TB):
+      * spans are derived with pure array ops inside the scan projection —
+        the only shuffle is the groupBy that counts distinct docs per span,
+        and that aggregation partial-combines map-side;
+      * the heavy-span set (count >= min_docs) is a tiny fraction of the
+        corpus by construction, so the join back is a BROADCAST hash join —
+        the corpus-sized side never reshuffles;
+      * span keys carry ``xxhash64(span_text)`` so the aggregation compares
+        8-byte ints, not strings; at petabyte scale you would key on the
+        hash alone (documented collision odds ~n^2/2^64) — here the text
+        rides along so the gate is hash-collision-proof;
+      * reassembly sorts each doc's surviving spans by position inside a
+        single per-doc aggregate (array_sort over collect_list of structs)
+        — no window, no second shuffle beyond the doc-keyed agg.
+
+    Reference anchor: extends the corpus-hygiene family of
+    fact_dim_merging.sh:282-413 (dup checks) from row-level to sub-document
+    spans for training-data curation.
+    """
+    toks = tokens(text_col)
+    n_spans = F.ceil(F.size(toks) / F.lit(span)).cast("int")
+    spans_arr = F.transform(
+        F.sequence(F.lit(0), n_spans - F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * span + 1, span)),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(spans_arr).alias("span_idx", "span_text"),
+    )
+    heavy = (
+        base.groupBy(F.xxhash64("span_text").alias("span_hash"), "span_text")
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("span_text", "n_docs")
+    )
+    joined = base.join(F.broadcast(heavy), "span_text", "left")
+    keep = F.when(
+        F.col("n_docs").isNull(),
+        F.struct(F.col("span_idx"), F.col("span_text")),
+    )
+    return (
+        joined.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("n_docs").isNotNull().cast("long")).alias("n_dup_spans"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(keep)), lambda s: s["span_text"]
+                ),
+            ).alias("clean_text"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_spans",
+            "n_dup_spans",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6).alias(
+                "dup_span_frac"
+            ),
+            "clean_text",
+        )
+    )

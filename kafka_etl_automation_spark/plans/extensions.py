@@ -1015,6 +1015,44 @@ def ext_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.cross_split_contamination(docs, pairs)
 
 
+# C4-style cross-document duplicate-span (boilerplate) removal: chop each
+# doc into non-overlapping 5-word spans, spans present in >= 2 distinct
+# docs are boilerplate, rebuild clean text from surviving spans in order.
+_BOILERPLATE_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+), sp AS (
+  SELECT doc_id, i AS span_idx,
+         array_to_string(t[(i*5+1):(i*5+5)], ' ') AS span_text
+  FROM tk, UNNEST(range(0, CAST(ceil(len(t) / 5.0) AS BIGINT))) AS r(i)
+), heavy AS (
+  SELECT span_text FROM sp GROUP BY span_text
+  HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT sp.doc_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN h.span_text IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_spans,
+       round(SUM(CASE WHEN h.span_text IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS dup_span_frac,
+       COALESCE(string_agg(CASE WHEN h.span_text IS NULL THEN sp.span_text END,
+                           ' ' ORDER BY sp.span_idx), '') AS clean_text
+FROM sp LEFT JOIN heavy h ON sp.span_text = h.span_text
+GROUP BY sp.doc_id
+"""
+
+
+@register("ext_boilerplate", _BOILERPLATE_ORACLE)
+def ext_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-span removal (operators.dedup.
+    boilerplate_span_dedup) — the C4 repeated-span rule: spans shared by
+    >= 2 distinct docs are dropped and each doc's clean_text rebuilt.
+    Scale: one map-side-combinable span aggregation; the tiny heavy-span
+    set broadcasts back, so the corpus never reshuffles."""
+    t = load_tables(spark, sf_dir, names=("documents",))
+    return dedup.boilerplate_span_dedup(t["documents"], span=5, min_docs=2)
+
+
 # Composed curation pipeline: the same scoring/dedup/split expressions as
 # the individual oracles above, chained the way a pretraining-data job
 # runs them; QUALIFY keeps the canonical (min doc_id) copy per fingerprint.

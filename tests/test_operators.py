@@ -436,3 +436,38 @@ def test_bigram_coherence_bounds_and_ranking(spark):
     assert rows[1].coherence > rows[2].coherence > rows[3].coherence
     assert all(0 < r.coherence <= 1 for r in rows.values())
     assert rows[1].n_bigrams == 5 and rows[2].n_bigrams == 2
+
+
+def test_boilerplate_span_dedup_removes_shared_spans(spark):
+    """Spans shared by >= min_docs distinct docs are dropped from
+    clean_text; unique spans survive in original order; intra-doc repeats
+    alone do NOT trigger removal (distinct-doc counting)."""
+    boiler = "copyright notice all rights reserved"  # 5 words, shared
+    df = docs_df(
+        spark,
+        [
+            (1, boiler + " alpha beta gamma delta epsilon"),
+            (2, boiler + " one two three four five"),
+            # doc 3 repeats ITS OWN span twice — 1 distinct doc, kept
+            (3, "zeta eta theta iota kappa zeta eta theta iota kappa"),
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.boilerplate_span_dedup(df, span=5, min_docs=2).collect()
+    }
+    assert out[1].n_spans == 2 and out[1].n_dup_spans == 1
+    assert out[1].clean_text == "alpha beta gamma delta epsilon"
+    assert out[2].clean_text == "one two three four five"
+    assert out[1].dup_span_frac == 0.5
+    # intra-doc repetition: both copies survive
+    assert out[3].n_dup_spans == 0
+    assert out[3].clean_text == "zeta eta theta iota kappa zeta eta theta iota kappa"
+
+
+def test_boilerplate_span_dedup_all_boiler_empty_text(spark):
+    """A doc made entirely of boilerplate rebuilds to the empty string
+    (not NULL) so downstream length filters see it."""
+    df = docs_df(spark, [(1, "aa bb cc dd ee"), (2, "aa bb cc dd ee")])
+    rows = dedup.boilerplate_span_dedup(df, span=5, min_docs=2).collect()
+    assert all(r.clean_text == "" and r.dup_span_frac == 1.0 for r in rows)
