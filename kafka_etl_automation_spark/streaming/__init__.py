@@ -6,6 +6,7 @@ from kafka_etl_automation_spark.streaming.ingest import (  # noqa: F401
     ProgressAuditListener,
     conservation_check,
     contiguity_violations,
+    exactly_once_dedup,
     kafka_batch_source,
     kafka_stream_source,
     parse_kafka_records,

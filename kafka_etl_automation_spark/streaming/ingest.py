@@ -440,3 +440,31 @@ def streaming_contract_summary(
         .alias("t4_suppression"),
     )
     return conservation_check(spark, audit, bronze_dirs, fmt).crossJoin(t)
+
+
+def exactly_once_dedup(
+    stream: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """At-least-once -> exactly-once: drop broker redeliveries by key with
+    state bounded by a watermark (``dropDuplicatesWithinWatermark``).
+
+    Kafka delivers at-least-once to the arrival layer
+    (Kafka_ArrivalToConform.sh:114-318 tolerates replays by re-running the
+    conform step); the Spark-native fix is dedup state keyed on the record
+    key and EVICTED once the event-time watermark passes — unbounded-state
+    ``dropDuplicates`` on a stream is the classic OOM at 100 TB/day, while
+    the watermarked form holds only the last ``watermark`` worth of keys
+    per partition. Redeliveries older than the watermark (rare log
+    replays) fall through to the idempotent sink layer (scd.append_run
+    partition overwrite), which makes them harmless rather than silent.
+
+    Plain ``dropDuplicates`` semantics differ: this variant may keep BOTH
+    copies if they arrive more than ``watermark`` apart — exactly the
+    contract an idempotent downstream absorbs.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

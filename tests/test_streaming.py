@@ -196,3 +196,39 @@ def test_contract_summary_json_fmt(spark, tmp_root):
     assert row.status == "PASS" and row.landed_rows == 40
     assert row.n_empty_batches >= 1
     assert row.t1_durations == "PASS" and row.t4_suppression == "PASS"
+
+
+def test_exactly_once_dedup_drops_redeliveries(spark, tmp_root):
+    """At-least-once redeliveries (same event_id in a later micro-batch,
+    inside the watermark) must reach the sink exactly once."""
+    from datetime import datetime
+
+    src = os.path.join(tmp_root, "eo_src")
+    rows1 = [(1, datetime(2024, 1, 1, 0, 0), 1.0), (2, datetime(2024, 1, 1, 0, 1), 1.0)]
+    rows2 = [  # redelivery of 2 + new 3, one minute later
+        (2, datetime(2024, 1, 1, 0, 1), 1.0),
+        (3, datetime(2024, 1, 1, 0, 2), 1.0),
+    ]
+    schema = "event_id long, ts timestamp, value double"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    out = ingest.exactly_once_dedup(stream, ("event_id",), "ts", "10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("eo_dedup")
+        .outputMode("append")
+        .option(
+            "checkpointLocation", os.path.join(tmp_root, "eo_ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r.event_id for r in spark.sql("SELECT event_id FROM eo_dedup").collect()
+    )
+    assert got == [1, 2, 3]
