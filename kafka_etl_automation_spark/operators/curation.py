@@ -173,6 +173,51 @@ def token_budget_select(
     )
 
 
+def source_cap(
+    scored: DataFrame,
+    caps: dict[str, int],
+    strata_col: str = "source",
+    quality_col: str = "quality",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source quota capping: keep at most ``caps[source]`` documents of
+    each capped source, best-quality first — the "don't let one crawl
+    dominate the mix" curation primitive (CCNet/RefinedWeb cap boilerplate
+    domains; sources absent from ``caps`` pass through untouched).
+
+    Scale design — no global window: uncapped sources NEVER enter a sort
+    (they pass through with a broadcast anti-join against the tiny capped-
+    source list), and the ranking window runs only over capped sources'
+    rows, partitioned per source. The sorted volume is bounded by
+    sum(rows of capped sources), not the corpus. A single pathological
+    source still sorts its own rows; if that source is itself petabyte-
+    sized, pre-prune with a per-(source, quality-bucket) ledger first —
+    same cutoff trick as token_budget_select.
+
+    Deterministic: rank orders by (quality DESC, id ASC); ties broken by
+    the unique id, so the kept set is unique and engine-portable.
+    """
+    from pyspark.sql import Window
+
+    spark = scored.sparkSession
+    capped = spark.createDataFrame(
+        [(s, n) for s, n in sorted(caps.items())], f"{strata_col} string, cap int"
+    )
+    pass_through = scored.join(
+        F.broadcast(capped.select(strata_col)), strata_col, "anti"
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    kept = (
+        scored.join(F.broadcast(capped), strata_col)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("cap"))
+        .drop("rn", "cap")
+    )
+    return pass_through.unionByName(kept.select(*pass_through.columns))
+
+
 def cross_split_contamination(
     documents: DataFrame,
     pairs: DataFrame,

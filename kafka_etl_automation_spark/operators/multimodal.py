@@ -123,3 +123,73 @@ def frame_sample(
             )
 
     return df.select(*cols).mapInPandas(kernel, schema=FRAME_SAMPLE_SCHEMA)
+
+
+AUDIO_WINDOWS_SCHEMA = (
+    "doc_id long, window_idx int, start_byte long, mean_amp double, peak int"
+)
+
+
+def audio_windows(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    window: int = 32,
+) -> DataFrame:
+    """"Audio" feature windows: treat the payload as unsigned 8-bit PCM,
+    cut non-overlapping ``window``-sample frames, emit per-frame mean
+    amplitude and peak — the chunk/feature shape of real audio
+    preprocessing (VAD windows, loudness normalization, mel frames),
+    without the codec. Trailing partial frames are dropped, as a real
+    framer does.
+
+    STAND-IN KERNEL like image_features: a real pipeline swaps the
+    np.frombuffer line for torchaudio/soundfile decode; everything else —
+    Arrow batching, vectorized per-window reduction, the one-to-many row
+    shape — is exactly what production runs. mean_amp divides by a
+    power-of-two window so the double is exact and engine-portable.
+    """
+    import numpy as np
+
+    cols = (id_col, payload_col)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_idx, out_off, out_mean, out_peak = [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                samples = np.frombuffer(payload, dtype=np.uint8)
+                n_frames = len(samples) // window
+                if n_frames == 0:
+                    continue
+                frames = samples[: n_frames * window].reshape(n_frames, window)
+                out_id.append(np.full(n_frames, doc_id, dtype=np.int64))
+                out_idx.append(np.arange(n_frames, dtype=np.int32))
+                out_off.append(
+                    np.arange(n_frames, dtype=np.int64) * window
+                )
+                out_mean.append(
+                    frames.sum(axis=1, dtype=np.int64) / float(window)
+                )
+                out_peak.append(frames.max(axis=1).astype(np.int32))
+            if not out_id:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "window_idx": pd.Series([], dtype="int32"),
+                        "start_byte": pd.Series([], dtype="int64"),
+                        "mean_amp": pd.Series([], dtype="float64"),
+                        "peak": pd.Series([], dtype="int32"),
+                    }
+                )
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(out_id),
+                    "window_idx": np.concatenate(out_idx),
+                    "start_byte": np.concatenate(out_off),
+                    "mean_amp": np.concatenate(out_mean),
+                    "peak": np.concatenate(out_peak),
+                }
+            )
+
+    return df.select(*cols).mapInPandas(kernel, schema=AUDIO_WINDOWS_SCHEMA)

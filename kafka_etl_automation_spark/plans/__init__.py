@@ -60,6 +60,10 @@ _PRIORITY = [
     "ext_repetition",
     "ext_source_mix",
     "ext_decontamination",
+    "ext_source_cap",
+    "ext_cdc_apply",
+    "ext_incremental_rollup",
+    "ext_approx_cardinality",
     "ext_asof_join",
     "ext_range_join",
     "ext_ngram_jaccard",
@@ -80,6 +84,7 @@ _PRIORITY = [
     "ext_salted_agg",
     "mm_image_features",
     "mm_frame_sample",
+    "mm_audio_windows",
     "ext_redact",
     "ext_hash_split",
 ]

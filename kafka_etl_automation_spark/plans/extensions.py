@@ -1158,3 +1158,204 @@ def ext_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 6 planes -> 64 buckets: dense enough at test SFs for buckets to hold
     # genuine neighbor candidates (10+ planes leaves singletons only).
     return similarity.lsh_cosine_topk(emb, queries, k=5, num_planes=6)
+
+
+_SOURCE_CAP_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, source, string_split({_NORM}, ' ') AS t FROM documents
+), st AS (
+  SELECT doc_id, source,
+         len(t) AS n_tokens,
+         len(list_distinct(t)) / len(t) AS unique_ratio,
+         len(list_filter(t, x -> list_contains({_STOPS}, x))) / len(t)
+           AS stopword_ratio
+  FROM tk
+), q AS (
+  SELECT doc_id, source, n_tokens,
+         round(least(n_tokens / 100.0, 1.0) * 0.4 + unique_ratio * 0.3
+               + least(stopword_ratio * 5.0, 1.0) * 0.3, 6) AS quality
+  FROM st
+), r AS (
+  SELECT doc_id, source, quality,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY quality DESC, doc_id ASC) AS rn
+  FROM q)
+SELECT doc_id, source, quality FROM r
+WHERE rn <= CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 10
+                        ELSE 2147483647 END
+"""
+
+
+@register("ext_source_cap", _SOURCE_CAP_ORACLE)
+def ext_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota capping (operators.curation.source_cap): cap the
+    two "heavy crawl" sources at their 10 best-quality documents, pass
+    every other source through a broadcast anti-join untouched — the
+    domain-mix rebalancing step of a pretraining pipeline. Only capped
+    sources' rows ever enter the ranking window."""
+    from kafka_etl_automation_spark.operators import curation
+
+    t = load_tables(spark, sf_dir, names=("documents",))
+    scored = text.quality_score(t["documents"]).join(
+        t["documents"].select("doc_id", "source"), "doc_id"
+    )
+    return curation.source_cap(
+        scored.select("doc_id", "source", "quality"),
+        caps={"src0": 10, "src1": 10},
+    )
+
+
+_CDC_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 3 <> 0
+), chg AS (
+  SELECT o_orderkey, 1 AS seq, 'I' AS op, o_custkey, o_orderstatus,
+         o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, 2, 'U', o_custkey, 'X', o_totalprice * 2
+  FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, 3, 'D', o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 0
+), latest AS (
+  SELECT * FROM chg
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) = 1
+)
+SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus, b.o_totalprice
+FROM base b ANTI JOIN latest l ON b.o_orderkey = l.o_orderkey
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM latest WHERE op <> 'D'
+"""
+
+
+@register("ext_cdc_apply", _CDC_ORACLE)
+def ext_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply (scd.cdc_apply): a deterministic I/U/D
+    changelog derived from orders (inserts keys %3=0, upserting updates
+    %5=0 with doubled price + status 'X', deletes %7=0, seq = change
+    order) merged into the %3<>0 base snapshot. Overlapping keys exercise
+    every last-writer path: insert-then-delete -> absent, update-then-
+    delete -> absent, update-without-base -> upsert."""
+    from kafka_etl_automation_spark import scd
+
+    t = load_tables(spark, sf_dir, names=("orders",))
+    o = t["orders"].select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    base = o.filter(F.col("o_orderkey") % 3 != 0)
+    chg = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            "o_orderkey",
+            F.lit(1).alias("seq"),
+            F.lit("I").alias("op"),
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 5 == 0).select(
+                "o_orderkey",
+                F.lit(2).alias("seq"),
+                F.lit("U").alias("op"),
+                "o_custkey",
+                F.lit("X").alias("o_orderstatus"),
+                (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            )
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 7 == 0).select(
+                "o_orderkey",
+                F.lit(3).alias("seq"),
+                F.lit("D").alias("op"),
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+    return scd.cdc_apply(base, chg, ["o_orderkey"])
+
+
+_INC_ROLLUP_ORACLE = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       MAX(value) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("ext_incremental_rollup", _INC_ROLLUP_ORACLE)
+def ext_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (transform.merge_aggregate_state):
+    the daily (day, event_type) rollup is built as state-through-Jan-20
+    MERGED WITH the Jan-21+ delta — never a full-history rescan — and the
+    oracle recomputes over everything, proving merged == recompute. Sums
+    ride DECIMAL so the merge is order-exact; AVG is intentionally
+    unsupported (derive from sum/count)."""
+    from kafka_etl_automation_spark import transform
+
+    t = load_tables(spark, sf_dir, names=("events",))
+    ev = t["events"]
+    cutoff = F.lit("2024-01-21").cast("timestamp")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    prev = rollup(ev.filter(F.col("ts") < cutoff))
+    delta = rollup(ev.filter(F.col("ts") >= cutoff))
+    merged = transform.merge_aggregate_state(
+        prev, delta, ["day", "event_type"],
+        {"n_events": "count", "sum_value": "sum", "max_value": "max"},
+    )
+    return merged.select(
+        "day",
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "max_value",
+    )
+
+
+_CARDINALITY_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       TRUE AS sketch_within_5pct
+FROM events GROUP BY event_type
+"""
+
+
+@register("ext_approx_cardinality", _CARDINALITY_ORACLE)
+def ext_approx_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based cardinality: per event type, exact distinct users (the
+    verifier — itself a keyed shuffle) alongside HLL++
+    approx_count_distinct at rsd=0.01 (the 100 TB path: fixed-size sketch,
+    map-side combinable, no distinct shuffle), asserting the sketch lands
+    within 5%. HLL register-merge is order-insensitive, so the boolean is
+    deterministic and the oracle pins it TRUE."""
+    t = load_tables(spark, sf_dir, names=("events",))
+    g = t["events"].groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx"),
+    )
+    return g.select(
+        "event_type",
+        "n_events",
+        "n_users",
+        (
+            F.abs(F.col("n_users_approx") - F.col("n_users"))
+            <= F.col("n_users") * 0.05
+        ).alias("sketch_within_5pct"),
+    )

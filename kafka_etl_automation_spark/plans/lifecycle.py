@@ -726,3 +726,27 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_offset",
         F.col("frame_bytes").cast("int").alias("frame_bytes"),
     )
+
+
+@register(
+    "mm_audio_windows",
+    """WITH b AS (
+         SELECT doc_id, ascii(substr(text, CAST(i + 1 AS INT), 1)) AS byte,
+                CAST(i // 32 AS INT) AS wi
+         FROM documents, unnest(range(octet_length(encode(text)))) AS u(i)
+       )
+       SELECT doc_id, wi AS window_idx, CAST(wi AS BIGINT) * 32 AS start_byte,
+              SUM(byte) / 32.0 AS mean_amp,
+              CAST(MAX(byte) AS INT) AS peak
+       FROM b GROUP BY doc_id, wi
+       HAVING COUNT(*) = 32""",
+)
+def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio feature windows (operators.multimodal.
+    audio_windows): payload as unsigned 8-bit PCM, non-overlapping
+    32-sample frames, vectorized per-frame mean/peak in the Arrow kernel.
+    The oracle replays the byte arithmetic in SQL (the corpus is ASCII, so
+    ascii(substr) == byte); mean divides by a power of two, keeping the
+    double exact in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.audio_windows(multimodal.with_payload(docs))

@@ -209,3 +209,50 @@ def current_rows(dim: DataFrame) -> DataFrame:
     """The reference's consumers read current state as RECORD_STATUS='1'
     (query.txt:1)."""
     return dim.filter(F.col("record_status") == "1")
+
+
+def cdc_apply(
+    base: DataFrame,
+    changelog: DataFrame,
+    keys: Sequence[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply an I/U/D changelog to a base snapshot — MERGE semantics over
+    plain DataFrames, the batch analog of the reference's conform-layer
+    upsert flow (Kafka_ArrivalToConform.sh:392-470 stages arrivals then
+    merges into conformed by business key).
+
+    ``changelog`` rows carry (keys..., seq_col, op_col in {'I','U','D'},
+    payload...); ``seq_col`` must be unique per key (a Kafka offset, a CDC
+    LSN). Per key only the HIGHEST-seq change wins:
+
+    - last op 'D'      -> key absent from the result;
+    - last op 'I'/'U'  -> key present with that change's payload
+      (an update for an unseen key upserts, like MERGE WHEN NOT MATCHED);
+    - key not in the changelog -> base row passes through untouched.
+
+    Scale design: the changelog compacts FIRST with a max_by(struct, seq)
+    aggregation — partial-aggregable, so map-side combine collapses
+    redelivery storms before the shuffle; the base is touched by exactly
+    one anti-join on the (already tiny, one row per changed key) compacted
+    frame, which Catalyst broadcasts when small. The base is never sorted
+    or windowed — the copy-on-write merge shape of Delta/Hudi.
+    """
+    attrs = [c for c in changelog.columns if c not in (*keys, seq_col, op_col)]
+    latest = (
+        changelog.groupBy(*keys)
+        .agg(
+            F.max_by(
+                F.struct(F.col(op_col).alias("__op"), *attrs), F.col(seq_col)
+            ).alias("__r")
+        )
+        .select(*keys, "__r.*")
+    )
+    unchanged = base.join(latest.select(*keys), list(keys), "anti")
+    upserts = (
+        latest.filter(F.col("__op") != "D")
+        .drop("__op")
+        .select(*keys, *attrs)
+    )
+    return unchanged.select(*keys, *attrs).unionByName(upserts)

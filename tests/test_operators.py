@@ -471,3 +471,104 @@ def test_boilerplate_span_dedup_all_boiler_empty_text(spark):
     df = docs_df(spark, [(1, "aa bb cc dd ee"), (2, "aa bb cc dd ee")])
     rows = dedup.boilerplate_span_dedup(df, span=5, min_docs=2).collect()
     assert all(r.clean_text == "" and r.dup_span_frac == 1.0 for r in rows)
+
+
+def test_source_cap_branches(spark):
+    """Capped sources keep exactly their quota (best quality first, id
+    tiebreak); uncapped sources pass through completely untouched."""
+    from kafka_etl_automation_spark.operators import curation
+
+    rows = [
+        # source a: 4 docs, cap 2 -> keep the 2 best (quality desc, id asc)
+        (1, "a", 0.9), (2, "a", 0.5), (3, "a", 0.9), (4, "a", 0.1),
+        # source b: uncapped -> all pass through
+        (5, "b", 0.0), (6, "b", 0.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, quality double")
+    got = {
+        r.doc_id
+        for r in curation.source_cap(df, caps={"a": 2}).collect()
+    }
+    assert got == {1, 3, 5, 6}
+
+
+def test_cdc_apply_last_writer_paths(spark):
+    """Every last-writer path: plain base pass-through, insert, update,
+    delete, insert-then-delete, update-without-base upsert."""
+    from kafka_etl_automation_spark import scd
+
+    base = spark.createDataFrame(
+        [(1, "keep"), (2, "upd"), (3, "del")], "k long, v string"
+    )
+    chg = spark.createDataFrame(
+        [
+            (2, 1, "U", "upd2"),      # update existing
+            (3, 1, "D", "x"),         # delete existing
+            (4, 1, "I", "new"),       # insert new key
+            (5, 1, "I", "tmp"), (5, 2, "D", "x"),  # insert then delete
+            (6, 1, "U", "ups"),       # update w/o base -> upsert
+            (2, 0, "U", "stale"),     # stale change must lose to seq=1
+        ],
+        "k long, seq int, op string, v string",
+    )
+    got = {
+        (r.k, r.v) for r in scd.cdc_apply(base, chg, ["k"]).collect()
+    }
+    assert got == {(1, "keep"), (2, "upd2"), (4, "new"), (6, "ups")}
+
+
+def test_merge_aggregate_state_equals_recompute(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_etl_automation_spark import transform
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 5), ("b", 2), ("b", 7), ("b", -1)], "k string, x int"
+    )
+
+    def agg(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("s"),
+            F.min("x").alias("lo"),
+            F.max("x").alias("hi"),
+        )
+
+    merged = transform.merge_aggregate_state(
+        agg(df.filter(F.col("x") < 3)),
+        agg(df.filter(F.col("x") >= 3)),
+        ["k"],
+        {"n": "count", "s": "sum", "lo": "min", "hi": "max"},
+    )
+    full = agg(df)
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in full.collect()
+    }
+
+
+def test_merge_aggregate_state_rejects_non_reaggregatable(spark):
+    import pytest as _pytest
+
+    from kafka_etl_automation_spark import transform
+
+    df = spark.range(1)
+    with _pytest.raises(ValueError, match="not re-aggregatable"):
+        transform.merge_aggregate_state(df, df, ["id"], {"m": "avg"})
+
+
+def test_audio_windows_exact_values(spark):
+    """Kernel arithmetic pinned against hand-computed frames: payload of
+    known bytes, window=4 -> mean is the exact /4 double, peak the max,
+    trailing partial frame dropped, short payloads emit nothing."""
+    from kafka_etl_automation_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [(1, bytearray([0, 2, 4, 6, 100, 100, 100, 104, 9, 9])),  # 2 frames + tail
+         (2, bytearray([1, 2, 3]))],                              # shorter than one
+        "doc_id long, payload binary",
+    )
+    got = {
+        (r.doc_id, r.window_idx, r.start_byte, r.mean_amp, r.peak)
+        for r in multimodal.audio_windows(df, window=4).collect()
+    }
+    assert got == {(1, 0, 0, 3.0, 6), (1, 1, 4, 101.0, 104)}
