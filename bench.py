@@ -73,6 +73,11 @@ BENCH_QUERIES = [
     "ext_hash_split",
     "mm_image_features",
     "mm_frame_sample",
+    "mm_audio_windows",
+    "ext_cdc_apply",
+    "ext_incremental_rollup",
+    "ext_source_cap",
+    "ext_approx_cardinality",
     "stream_file_ingest",
 ]
 

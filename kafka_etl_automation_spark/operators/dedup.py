@@ -157,6 +157,39 @@ def ngram_jaccard_pairs(
     )
 
 
+def _shingle_hash_rows(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, sh): one row per n-gram occurrence, sh = xxhash64 over the n
+    token columns — bit-identical to shingle_hashes() elements (verified
+    by a full-corpus set comparison when this path landed) but built from
+    posexplode + window leads instead of a higher-order transform.
+
+    Why: HOF expressions (transform/element_at lambdas) are interpreted,
+    not whole-stage-codegen'd — profiling showed ~25µs per shingle, 14s
+    for a 5k-doc corpus, dominating the minhash pipeline. posexplode,
+    lead() and xxhash64 are all scalar codegen paths; the same corpus
+    hashes in well under a second. Costs one (id)-keyed shuffle+sort for
+    the window, which downstream per-id aggregations then reuse
+    (hash-partitioning on id is already satisfied — no second exchange).
+
+    Duplicate shingles are RETAINED (min/collect_set downstream are
+    duplicate-insensitive); docs with fewer than n tokens emit no rows,
+    matching shingle_hashes' empty-array semantics.
+    """
+    from pyspark.sql import Window
+
+    ex = _fanout_rebalance(df).select(
+        F.col(id_col).alias("id"), F.posexplode(tokens(text_col)).alias("pos", "t0")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    lead_cols = [F.lead("t0", k).over(w).alias(f"t{k}") for k in range(1, n)]
+    sel = ex.select("id", "t0", *lead_cols)
+    return sel.filter(F.col(f"t{n - 1}").isNotNull()).select(
+        "id", F.xxhash64(*[F.col(f"t{k}") for k in range(n)]).alias("sh")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -169,19 +202,20 @@ def minhash_signatures(
     groupBy; the k mins aggregate map-side, so the shuffle carries one row
     per document.
 
-    Shingle strings are never materialized here: shingle_hashes() hashes
+    Shingle strings are never materialized here: _shingle_hash_rows hashes
     the n token columns directly (one fixed-width hash per shingle), and
     the k per-seed hashes derive from that 64-bit value — the same
     independence structure (seeded re-hash of a uniform 64-bit input) at a
-    fraction of the string-building cost. Exact verification elsewhere
-    still uses real string shingles."""
-    ex = _fanout_rebalance(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(shingle_hashes(text_col, n)).alias("h"),
-    )
-    return ex.groupBy("id").agg(
+    fraction of the string-building cost. The whole pipeline stays in
+    scalar whole-stage codegen (see _shingle_hash_rows for why the
+    higher-order-function formulation was abandoned); the k mins aggregate
+    map-side, so the one shuffle carries one row per document and reuses
+    the window's (id) partitioning. Documents with no shingle (< n tokens)
+    are dropped."""
+    rows = _shingle_hash_rows(df, text_col, id_col, n)
+    return rows.groupBy("id").agg(
         *[
-            F.min(F.xxhash64(F.lit(j), F.col("h"))).alias(f"mh{j}")
+            F.min(F.xxhash64(F.lit(j), F.col("sh"))).alias(f"mh{j}")
             for j in range(num_hashes)
         ]
     )
@@ -198,22 +232,46 @@ def minhash_lsh_pairs(
     max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH, verified with exact
-    Jaccard so the output has no false positives (recall is the probabilistic
-    part, ~ 1-(1-t^r)^b).
+    Jaccard over the 64-bit shingle-hash sets so the output has no false
+    positives beyond hash-collision odds (~|sh|²/2⁶⁴ per pair — negligible
+    and deterministic; recall is the probabilistic part, ~ 1-(1-t^r)^b).
 
-    Pipeline (each stage one shuffle, all keyed):
-      signatures -> band keys -> bucket self-join (skew-capped at
-      max_bucket) -> exact-Jaccard verification on candidates only.
+    Plan shape (deliberately few exchanges — an earlier version ran
+    signatures through an interpreted higher-order-function projection and
+    verification through a second inverted-index self-join, ~12 shuffles
+    plus ~25µs/shingle of non-codegen expression overhead):
+
+      posexplode tokens -> window leads -> shingle-hash rows (codegen)
+        -> ONE per-doc aggregation: collect_set(sh) + all 64 mins
+           [persisted, one row per doc]
+        -> 16 band keys as pure projections -> explode bands [persisted]
+        -> bucket-size skew filter (max_bucket) -> bucket self-join
+        -> distinct candidate pairs
+        -> join each side back to its hash set -> array_intersect Jaccard
+
+    Shuffles: the window sort (reused by the aggregation), bucket sizing,
+    the self-join, distinct, and the two verification joins.
     """
     from pyspark import StorageLevel
 
     rows = num_hashes // bands
-    # The banded-signature and candidate frames feed 3-4 plan branches each
-    # (bucket sizing, both self-join sides, verification); without a persist
-    # every branch recomputes the full signature pass. These intermediates
-    # are compact — one row per doc (signatures) / per candidate pair — so
-    # MEMORY_AND_DISK persists a sliver of the corpus size at any scale.
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    # One pass builds BOTH the verification hash set and the signature;
+    # it feeds band generation and both verification sides, the banded
+    # frame feeds bucket sizing and both self-join sides. Persist both —
+    # each is compact (one row per doc / 16 narrow rows per doc), a
+    # sliver of corpus size at any scale.
+    sh_rows = _shingle_hash_rows(df, text_col, id_col, n)
+    src = (
+        sh_rows.groupBy("id")
+        .agg(
+            F.collect_set("sh").alias("sh"),
+            *[
+                F.min(F.xxhash64(F.lit(j), F.col("sh"))).alias(f"mh{j}")
+                for j in range(num_hashes)
+            ],
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     band_structs = [
         F.struct(
@@ -225,20 +283,20 @@ def minhash_lsh_pairs(
         for bid in range(bands)
     ]
     banded = (
-        sig.select("id", F.explode(F.array(*band_structs)).alias("bb"))
+        src.select("id", F.explode(F.array(*band_structs)).alias("bb"))
         .select("id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    # Skew guard: drop degenerate buckets (e.g. empty-text signature) that
-    # would go quadratic; at 100 TB this is the difference between a bounded
-    # self-join and a runaway stage.
+    # Skew guard: drop degenerate buckets (e.g. identical boilerplate
+    # signatures) that would go quadratic; at 100 TB this is the
+    # difference between a bounded self-join and a runaway stage.
     bucket_sizes = banded.groupBy("band", "bkey").agg(F.count("*").alias("bsz"))
-    banded = banded.join(
+    banded_ok = banded.join(
         bucket_sizes.filter(F.col("bsz") <= max_bucket), ["band", "bkey"]
     ).select("id", "band", "bkey")
 
-    x, y = banded.alias("x"), banded.alias("y")
+    x, y = banded_ok.alias("x"), banded_ok.alias("y")
     cand = (
         x.join(
             y,
@@ -248,35 +306,22 @@ def minhash_lsh_pairs(
         )
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    # Exact verification restricted to candidates (semi-join prunes the
-    # inverted index to candidate docs first).
-    ids = cand.select(F.col("id_a").alias("id")).unionByName(
-        cand.select(F.col("id_b").alias("id"))
-    ).distinct()
-    ex = (
-        _exploded_shingles(df, text_col, id_col, n)
-        .join(ids, "id", "left_semi")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a, b = ex.alias("a"), ex.alias("b")
-    inter = (
-        cand.join(a, F.col("a.id") == F.col("id_a"))
-        .join(b, (F.col("b.id") == F.col("id_b")) & (F.col("a.sh") == F.col("b.sh")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    # Exact verification on candidates only: each pair re-joins the two
+    # hash SETS and intersects them worker-side — no inverted index, no
+    # per-shingle rows.
+    pa = src.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    pb = src.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(pa, "id_a")
+        .join(pb, "id_b")
+        .withColumn("n_inter", n_inter)
         .withColumn(
             "jaccard",
-            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            F.col("n_inter")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

@@ -1,5 +1,6 @@
 """Structured-Streaming ingest layer (S1/S2/S4, T1-T4)."""
 
+from kafka_etl_automation_spark.streaming.enrich import interval_join  # noqa: F401
 from kafka_etl_automation_spark.streaming.ingest import (  # noqa: F401
     AUDIT_SCHEMA,
     IngestResult,

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from kafka_etl_automation_spark.streaming import ingest
@@ -232,3 +234,73 @@ def test_exactly_once_dedup_drops_redeliveries(spark, tmp_root):
         r.event_id for r in spark.sql("SELECT event_id FROM eo_dedup").collect()
     )
     assert got == [1, 2, 3]
+
+
+def test_interval_join_stream_stream(spark, tmp_root):
+    """Watermarked stream-stream interval join: a click joins its
+    impression iff it lands within the [imp_ts, imp_ts + lead] window;
+    late clicks beyond the window never match."""
+    from datetime import datetime
+
+    from kafka_etl_automation_spark.streaming import enrich
+
+    imp_src = os.path.join(tmp_root, "ssj_imp")
+    clk_src = os.path.join(tmp_root, "ssj_clk")
+    imp_schema = "ad_id long, imp_ts timestamp, campaign string"
+    clk_schema = "ad_id long, clk_ts timestamp, click_id long"
+    t0 = datetime(2024, 1, 1, 0, 0)
+
+    spark.createDataFrame(
+        [
+            (1, t0, "c1"),
+            (2, datetime(2024, 1, 1, 0, 5), "c2"),
+            (3, datetime(2024, 1, 1, 0, 10), "c3"),
+        ],
+        imp_schema,
+    ).coalesce(1).write.parquet(imp_src)
+    spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 30), 100),   # inside 1h window
+            (2, datetime(2024, 1, 1, 2, 0), 200),    # outside -> no match
+            (3, datetime(2024, 1, 1, 0, 9), 300),    # BEFORE imp -> no match
+        ],
+        clk_schema,
+    ).coalesce(1).write.parquet(clk_src)
+
+    imps = spark.readStream.schema(imp_schema).parquet(imp_src)
+    clks = spark.readStream.schema(clk_schema).parquet(clk_src)
+    out = enrich.interval_join(
+        imps, clks, on=["ad_id"], left_ts="imp_ts", right_ts="clk_ts",
+        lead="1 hour", watermark="10 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp_root, "ssj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.ad_id, r.click_id)
+        for r in spark.sql("SELECT ad_id, click_id FROM ssj_out").collect()
+    }
+    assert got == {(1, 100)}
+
+
+def test_interval_join_rejects_ambiguous_columns(spark):
+    from datetime import datetime
+
+    from kafka_etl_automation_spark.streaming import enrich
+
+    a = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), "x")], "k long, ts timestamp, v string"
+    )
+    b = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), "y")], "k long, ts2 timestamp, v string"
+    )
+    with pytest.raises(ValueError, match="ambiguous"):
+        enrich.interval_join(a, b, ["k"], "ts", "ts2")
+    with pytest.raises(ValueError, match="must differ"):
+        enrich.interval_join(a, a, ["k"], "ts", "ts")
