@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "mm_image_features",
     "mm_frame_sample",
     "mm_audio_windows",
+    "ext_pivot",
+    "ext_quantile_sketch",
     "ext_cdc_apply",
     "ext_incremental_rollup",
     "ext_source_cap",

@@ -80,7 +80,9 @@ _PRIORITY = [
     "ext_windowed_counts",
     "ext_window_analytics",
     "ext_rollup",
+    "ext_pivot",
     "ext_quantiles",
+    "ext_quantile_sketch",
     "ext_salted_agg",
     "mm_image_features",
     "mm_frame_sample",

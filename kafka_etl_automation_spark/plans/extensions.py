@@ -1359,3 +1359,88 @@ def ext_approx_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("n_users") * 0.05
         ).alias("sketch_within_5pct"),
     )
+
+
+_PIVOT_ORACLE = """
+SELECT user_id,
+       COUNT(*) FILTER (event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (event_type = 'view')     AS n_view,
+       COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+       CAST(SUM(CAST(value AS DECIMAL(18,6)))
+              FILTER (event_type = 'purchase') AS DOUBLE) AS purchase_value
+FROM events GROUP BY user_id
+"""
+
+
+@register("ext_pivot", _PIVOT_ORACLE)
+def ext_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): per-user event-type counts + purchase value
+    via ``groupBy().pivot(values=...)``. The value list is EXPLICIT — an
+    unpinned pivot runs a driver-side distinct scan to discover columns
+    (two jobs) and makes the output schema data-dependent, both wrong at
+    100 TB. Pinned pivot compiles to one pass of conditional aggregates,
+    map-side combinable, identical to the oracle's FILTER form."""
+    t = load_tables(spark, sf_dir, names=("events",))
+    ev = t["events"]
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("val"),
+        )
+    )
+    return wide.select(
+        "user_id",
+        F.coalesce("click_n", F.lit(0)).alias("n_click"),
+        F.coalesce("view_n", F.lit(0)).alias("n_view"),
+        F.coalesce("purchase_n", F.lit(0)).alias("n_purchase"),
+        F.col("purchase_val").cast("double").alias("purchase_value"),
+    )
+
+
+_QSKETCH_ORACLE = """
+SELECT event_type,
+       quantile_cont(value, 0.5)  AS p50_exact,
+       quantile_cont(value, 0.95) AS p95_exact,
+       TRUE AS sketch_within_rank_eps
+FROM events GROUP BY event_type
+"""
+
+
+@register("ext_quantile_sketch", _QSKETCH_ORACLE)
+def ext_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch quantiles beside the exact verifier (the quantile member of
+    the sketch family, next to ext_approx_cardinality's HLL): exact
+    ``percentile`` (sorts per group — the verifier) alongside
+    ``percentile_approx`` accuracy 10000 (Greenwald-Khanna summary, fixed
+    size, map-side combinable — the 100 TB path), asserting the sketch's
+    RANK error: the approx p-quantile must sit between the exact
+    (p ± eps)-quantiles. That rank-bound is the sketch's actual contract
+    (value distance is unbounded for skewed data), it holds for any merge
+    order, and the oracle pins it TRUE.
+
+    eps combines the GK guarantee (1/accuracy = 1e-4) with the
+    discretization slack: percentile_approx returns a raw order statistic
+    while exact percentile interpolates, so the band must be at least one
+    inter-sample rank gap (~1/N) wide; 0.01 covers both with margin at
+    every test SF while still being a meaningful 1%-rank contract."""
+    t = load_tables(spark, sf_dir, names=("events",))
+    eps = 0.01
+    g = t["events"].groupBy("event_type").agg(
+        F.expr(
+            "percentile(value, array(0.5, 0.95, "
+            f"{0.5 - eps}, {0.5 + eps}, {0.95 - eps}, {0.95 + eps}))"
+        ).alias("ex"),
+        F.expr("percentile_approx(value, array(0.5, 0.95), 10000)").alias("ap"),
+    )
+    in_bounds = (
+        (F.col("ap")[0] >= F.col("ex")[2]) & (F.col("ap")[0] <= F.col("ex")[3])
+        & (F.col("ap")[1] >= F.col("ex")[4]) & (F.col("ap")[1] <= F.col("ex")[5])
+    )
+    return g.select(
+        "event_type",
+        F.col("ex")[0].alias("p50_exact"),
+        F.col("ex")[1].alias("p95_exact"),
+        in_bounds.alias("sketch_within_rank_eps"),
+    )
