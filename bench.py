@@ -139,18 +139,36 @@ def main() -> int:
         )
 
     total = round(sum(timings.values()), 3)
-    out = {
+    # stdout carries ONLY the minimal machine-readable line (the driver's
+    # parser choked on the r03 line that embedded queries_cold + errors —
+    # VERDICT r03 #4); cold timings and errors go to a sidecar + stderr.
+    detail = {
         "metric": "total_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "queries_cold": cold,
+        "errors": errors,
         "sf": sf,
     }
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_DETAIL.json"), "w"
+        ) as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError as exc:
+        print(f"# could not write BENCH_DETAIL.json: {exc}", file=sys.stderr)
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
-    return 0
+        print("# errors: " + json.dumps(errors), file=sys.stderr)
+    print(json.dumps({
+        "metric": "total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    return 0 if not errors else 1
 
 
 if __name__ == "__main__":

