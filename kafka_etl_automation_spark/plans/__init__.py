@@ -78,6 +78,8 @@ _PRIORITY = [
     "ext_winnowing",
     "ext_top_terms",
     "ext_windowed_counts",
+    "stream_sessionize",
+    "stream_interval_join",
     "ext_window_analytics",
     "ext_rollup",
     "ext_pivot",
