@@ -179,6 +179,7 @@ def kmeans_centroids(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_mod: int = 1,
 ) -> DataFrame:
     """Deterministic distributed Lloyd iterations -> (cell, cvec) centroids.
 
@@ -193,16 +194,27 @@ def kmeans_centroids(
     iterative algorithm. A cell that loses all members is dropped (both
     engines agree); callers get <= n_cells centroids.
 
-    Scale: per iteration one broadcast join over the vectors plus one
-    (cell, pos)-keyed aggregation of n_cells*dim rows — no shuffle of the
-    vectors themselves beyond the partial-agg combine.
+    ``train_mod`` is the 100 TB training-cost knob: Lloyd iterations run on
+    the deterministic 1/train_mod subset (``id % train_mod == 0``) — how
+    production IVF trains (centroids from a sample, assignment over
+    everything). Default 1 trains on all vectors (exact oracle parity);
+    the training cost scales 1/train_mod while index quality degrades only
+    with sample representativeness, not corpus size. See PLANS.md
+    (IVF cost anatomy) for measured numbers.
+
+    Scale: per iteration one broadcast join over the (sampled) vectors plus
+    one (cell, pos)-keyed aggregation of n_cells*dim rows — no shuffle of
+    the vectors themselves beyond the partial-agg combine.
     """
-    v = embeddings.select(
+    full = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("e")
     )
-    cent = v.filter(F.col("vid") < n_cells).select(
+    # seed from the FULL set (sampling must not shrink the seed block),
+    # iterate on the sample
+    cent = full.filter(F.col("vid") < n_cells).select(
         F.col("vid").alias("cell"), F.col("e").alias("ce")
     )
+    v = full.filter(F.col("vid") % train_mod == 0) if train_mod > 1 else full
     for _ in range(iters):
         scored = v.join(F.broadcast(cent)).withColumn(
             "csim",
