@@ -14,13 +14,15 @@ Each query is forced end-to-end with the noop sink (full materialization,
 no driver collect, no disk write skew).
 
 Methodology: after a one-time session warm-up (JVM codegen + Arrow worker
-pool), every query runs TWICE and the reported number is the second (warm)
-run — the first run pays per-plan codegen/classloading/shuffle-file setup
-that a long-lived cluster amortizes away, and those one-offs were inflating
-r02 numbers 3-20x vs steady state (VERDICT r02: a 0.65s rollup read as
-12.3s). Cold timings are kept in "queries_cold" for visibility. Workflow
-queries (m4/pipelines/stream) materialize fresh state on BOTH runs, so
-their warm number still contains their real write cost.
+pool), every query runs TWICE and the reported number is the MINIMUM of
+the two (timeit-style) — the first run pays per-plan codegen/classloading/
+shuffle-file setup that a long-lived cluster amortizes away (inflating r02
+numbers 3-20x), and single later runs carry GC/scheduler noise big enough
+to read slower than their cold predecessor (observed 3x on ext_ivf_topk in
+r04). First-run timings are kept in "queries_cold" inside
+BENCH_DETAIL.json for visibility. Workflow queries (m4/pipelines/stream)
+materialize fresh state on BOTH runs, so their number still contains their
+real write cost.
 """
 
 from __future__ import annotations
@@ -132,7 +134,11 @@ def main() -> int:
             continue
         cold[name] = first
         second = run_once(fn, name)
-        timings[name] = second if second is not None else first
+        # min of the two runs (timeit-style): single-run numbers carry
+        # GC/scheduler noise large enough to make a "warm" run slower than
+        # its cold predecessor (observed 3x on ext_ivf_topk); the minimum
+        # is the reproducible steady-state cost of the plan
+        timings[name] = min(first, second) if second is not None else first
         print(
             f"# {name}: {timings[name]:.2f}s (cold {first:.2f}s)",
             file=sys.stderr,

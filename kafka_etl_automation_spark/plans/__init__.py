@@ -82,6 +82,7 @@ _PRIORITY = [
     "stream_interval_join",
     "ext_window_analytics",
     "ext_rollup",
+    "ext_grouping_sets",
     "ext_pivot",
     "ext_quantiles",
     "ext_quantile_sketch",

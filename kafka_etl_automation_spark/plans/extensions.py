@@ -638,6 +638,41 @@ def ext_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GROUPING_SETS_ORACLE = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT)
+         AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                        (o_orderpriority), (o_orderstatus), ())
+"""
+
+
+@register("ext_grouping_sets", _GROUPING_SETS_ORACLE)
+def ext_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (the cube lattice rollup can't express:
+    per-status subtotals alongside per-priority ones). grouping_id
+    disambiguates real NULL group values from subtotal rows — without it
+    a NULL priority row and the all-priorities subtotal row collide.
+    One aggregation pass; Spark expands the sets via Expand (each input
+    row feeds every set), so cost is |sets| x scan with map-side combine —
+    the same 100 TB shape as ext_rollup."""
+    load_tables(spark, sf_dir, names=("orders",))
+    return spark.sql(
+        """SELECT o_orderpriority, o_orderstatus,
+                  CAST(grouping(o_orderpriority) * 2
+                       + grouping(o_orderstatus) AS BIGINT) AS gid,
+                  COUNT(*) AS n_orders,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                    AS revenue
+           FROM orders
+           GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                   (o_orderpriority), (o_orderstatus), ())"""
+    )
+
+
 _ASOF_ORACLE = """
 WITH clicks AS (SELECT event_id, user_id, ts FROM events
                 WHERE event_type = 'click'),

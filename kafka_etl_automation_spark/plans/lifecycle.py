@@ -658,8 +658,9 @@ def stream_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     got = spark.table(name)
-    assert got.count() == expected, (
-        f"streaming sessionize emitted {got.count()} sessions, "
+    n_got = got.count()
+    assert n_got == expected, (
+        f"streaming sessionize emitted {n_got} sessions, "
         f"batch-equivalent expects {expected}"
     )
     return got.select("user_id", "session_start", "session_end", "n_events")
