@@ -142,14 +142,19 @@ def lsh_embedding_near_dup_pairs(
     from pyspark import StorageLevel
 
     # sig feeds both the bucket-size pass and the join; persist the compact
-    # (id, bucket) frame so the Arrow signature pass runs once
+    # (id, bucket) frame so the Arrow signature pass runs once. Bucket
+    # sizing via a count window (not groupBy+join-back): its one (bucket)
+    # exchange is the partitioning the self-join wants anyway — see
+    # dedup.minhash_lsh_pairs for the measured 3x.
     sig = hyperplane_signatures(
         embeddings, num_planes, dim, seed, id_col, vec_col
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    bucket_sizes = sig.groupBy("bucket").agg(F.count("*").alias("bsz"))
-    sig = sig.join(
-        bucket_sizes.filter(F.col("bsz") <= max_bucket), "bucket"
-    ).select(id_col, "bucket")
+    wb = Window.partitionBy("bucket")
+    sig = (
+        sig.withColumn("bsz", F.count(F.lit(1)).over(wb))
+        .filter(F.col("bsz") <= max_bucket)
+        .select(id_col, "bucket")
+    )
     base = embeddings.join(sig, id_col)
     x = base.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
