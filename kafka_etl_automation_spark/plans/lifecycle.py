@@ -585,6 +585,28 @@ def stream_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _scoped_shuffle_partitions(spark: SparkSession, n: int):
+    """Temporarily size shuffle partitions (= streaming state-store
+    partition count, pinned by the fresh checkpoint at query start) for a
+    bounded streaming run, restoring the session value afterwards.
+
+    State partitions should track state volume: a gate-SF run holds a few
+    thousand keys, and 32 state stores cost ~4x the wall-clock of 8 in
+    per-batch setup/commit (measured at sf0.01). At 100 TB you'd size this
+    UP, not down — the knob is the same. Safe because gate queries run
+    sequentially on the session; the conf is restored in finally."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 _STREAM_SESSION_ORACLE = """
 WITH e AS (
   SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events
@@ -635,28 +657,31 @@ def stream_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _tmp("ssess")
     src = os.path.join(root, "src")
     events.coalesce(1).write.parquet(src)  # one file => one data batch
-    stream = spark.readStream.schema(events.schema).parquet(src)
-    out = sessions.stream_sessionize(stream, gap_minutes=30, timeout_seconds=2)
     name = "sess_" + os.path.basename(root).replace("-", "_")
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .start()
-    )
     import time
 
-    try:
-        # the engine keeps scheduling cleanup batches while timeouts are
-        # pending, so poll the sink to the known total, then stop
-        deadline = time.time() + 120
-        while time.time() < deadline:
-            if spark.table(name).count() >= expected:
-                break
-            time.sleep(0.5)
-    finally:
-        q.stop()
+    with _scoped_shuffle_partitions(spark, 8):
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        out = sessions.stream_sessionize(
+            stream, gap_minutes=30, timeout_seconds=2
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .start()
+        )
+        try:
+            # the engine keeps scheduling cleanup batches while timeouts
+            # are pending, so poll the sink to the known total, then stop
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if spark.table(name).count() >= expected:
+                    break
+                time.sleep(0.5)
+        finally:
+            q.stop()
     got = spark.table(name)
     n_got = got.count()
     assert n_got == expected, (
@@ -704,25 +729,26 @@ def stream_interval_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks.coalesce(1).write.parquet(clk_src)
     purchases.coalesce(1).write.parquet(pur_src)
 
-    out = enrich.interval_join(
-        spark.readStream.schema(clicks.schema).parquet(clk_src),
-        spark.readStream.schema(purchases.schema).parquet(pur_src),
-        on=["user_id"],
-        left_ts="click_ts",
-        right_ts="purch_ts",
-        lead="1 hour",
-        watermark="10 minutes",
-    )
     name = "sij_" + os.path.basename(root).replace("-", "_")
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
+    with _scoped_shuffle_partitions(spark, 8):
+        out = enrich.interval_join(
+            spark.readStream.schema(clicks.schema).parquet(clk_src),
+            spark.readStream.schema(purchases.schema).parquet(pur_src),
+            on=["user_id"],
+            left_ts="click_ts",
+            right_ts="purch_ts",
+            lead="1 hour",
+            watermark="10 minutes",
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
     return spark.table(name).select(
         "user_id", "click_id", "click_ts", "purch_ts", "purch_value"
     )
