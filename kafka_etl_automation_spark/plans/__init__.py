@@ -80,6 +80,9 @@ _PRIORITY = [
     "ext_windowed_counts",
     "stream_sessionize",
     "stream_interval_join",
+    "ext_funnel",
+    "ext_cohort_retention",
+    "ext_knn_label_agreement",
     "ext_window_analytics",
     "ext_rollup",
     "ext_grouping_sets",

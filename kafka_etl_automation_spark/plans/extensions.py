@@ -263,6 +263,64 @@ def ext_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, queries, k=5)
 
 
+_KNN_LABEL_ORACLE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+           FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         round({_DOT} / ({_NRM_A} * {_NRM_Q}), 6) AS cosine
+  FROM v a JOIN v q ON q.vec_id < 8 AND a.vec_id <> q.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT r.query_id, q.label AS query_label,
+       COUNT(*) AS n_neighbors,
+       CAST(SUM(CASE WHEN a.label = q.label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_same_label,
+       round(1.0 * SUM(CASE WHEN a.label = q.label THEN 1 ELSE 0 END)
+             / COUNT(*), 6) AS agreement
+FROM ranked r
+JOIN v q ON q.vec_id = r.query_id
+JOIN v a ON a.vec_id = r.neighbor_id
+WHERE r.rank <= 5
+GROUP BY r.query_id, q.label
+"""
+
+
+@register("ext_knn_label_agreement", _KNN_LABEL_ORACLE)
+def ext_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality metric: fraction of each query's exact top-5
+    cosine neighbors sharing the query's class label — the standard k-NN
+    probe for "do embeddings cluster by label". Composition: cosine_topk
+    (broadcast query side, no shuffle of the corpus) + one keyed join to
+    the (id, label) projection + a per-query aggregation; the corpus-sized
+    label join is keyed on neighbor id, never a cross product."""
+    t = load_tables(spark, sf_dir, names=("embeddings",))
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = similarity.cosine_topk(emb, queries, k=5)
+    nl = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label"))
+    ql = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("query_label"))
+    same = F.when(F.col("n_label") == F.col("query_label"), 1).otherwise(0)
+    return (
+        topk.join(nl, "neighbor_id")
+        .join(F.broadcast(ql), "query_id")
+        .groupBy("query_id", "query_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.sum(same).alias("n_same_label"),
+        )
+        .withColumn(
+            "agreement",
+            F.round(F.col("n_same_label") / F.col("n_neighbors"), 6),
+        )
+    )
+
+
 def _ddot(x: str, y: str) -> str:
     return (
         f"list_reduce([{x}[i] * {y}[i] FOR i IN range(1, len({x})+1)],"
@@ -481,6 +539,137 @@ def ext_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_start",
         "session_end",
         "n_events",
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.t_view
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.t_click
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT 'view' AS stage, (SELECT COUNT(*) FROM v) AS n_users,
+         round(1.0, 6) AS conversion
+  UNION ALL
+  SELECT 'view_click', (SELECT COUNT(*) FROM c),
+         round(1.0 * (SELECT COUNT(*) FROM c)
+               / (SELECT COUNT(*) FROM v), 6)
+  UNION ALL
+  SELECT 'view_click_purchase', (SELECT COUNT(*) FROM p),
+         round(1.0 * (SELECT COUNT(*) FROM p)
+               / (SELECT COUNT(*) FROM v), 6)
+)
+"""
+
+
+@register("ext_funnel", _FUNNEL_ORACLE)
+def ext_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click after first view ->
+    purchase after that click): per-stage user counts + conversion vs the
+    top of the funnel. Each stage is one user-keyed aggregation joined to
+    the previous stage's first-event time — three keyed shuffles total,
+    no window over the raw event stream; the single-row stage counts
+    cross-combine driver-free (constant-size frames)."""
+    t = load_tables(spark, sf_dir, names=("events",))
+    ev = t["events"]
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("nv"))
+    nc = c.agg(F.count(F.lit(1)).alias("nc"))
+    np_ = p.agg(F.count(F.lit(1)).alias("np"))
+    base = nv.crossJoin(nc).crossJoin(np_)  # three 1-row aggregate frames
+    stage = F.explode(
+        F.array(
+            F.struct(
+                F.lit("view").alias("stage"),
+                F.col("nv").alias("n_users"),
+                F.round(F.lit(1.0), 6).alias("conversion"),
+            ),
+            F.struct(
+                F.lit("view_click").alias("stage"),
+                F.col("nc").alias("n_users"),
+                F.round(F.col("nc") / F.col("nv"), 6).alias("conversion"),
+            ),
+            F.struct(
+                F.lit("view_click_purchase").alias("stage"),
+                F.col("np").alias("n_users"),
+                F.round(F.col("np") / F.col("nv"), 6).alias("conversion"),
+            ),
+        )
+    )
+    return base.select(stage.alias("s")).select(
+        F.col("s.stage").alias("stage"),
+        F.col("s.n_users").alias("n_users"),
+        F.col("s.conversion").alias("conversion"),
+    )
+
+
+_COHORT_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+)
+SELECT f.cohort_week,
+       (CAST(floor(epoch(a.week)) AS BIGINT)
+        - CAST(floor(epoch(f.cohort_week)) AS BIGINT)) // 604800
+         AS weeks_since,
+       COUNT(*) AS n_users
+FROM active a JOIN first_seen f ON a.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+@register("ext_cohort_retention", _COHORT_ORACLE)
+def ext_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen week, counted
+    in each later week they were active. Two user-keyed aggregations (first
+    week per user; distinct user-weeks) and one keyed join — no window over
+    raw events, so the plan is a pair of map-side-combinable shuffles at
+    any corpus size. Week arithmetic is exact integer math on UTC epoch
+    (both engines truncate to ISO Monday)."""
+    t = load_tables(spark, sf_dir, names=("events",))
+    ev = t["events"]
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    weeks_since = (
+        (F.unix_timestamp("week") - F.unix_timestamp("cohort_week"))
+        / F.lit(604800)
+    ).cast("long")
+    return (
+        active.join(first_seen, "user_id")
+        .groupBy("cohort_week", weeks_since.alias("weeks_since"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
     )
 
 

@@ -44,6 +44,11 @@ ALLOW = {
     "ext_ivf_topk": {"BroadcastNestedLoopJoin"},
     # per-validation one-row count frames crossJoined into result rows
     "fact_validation_suite": {"CartesianProduct", "BroadcastNestedLoopJoin"},
+    # three single-row stage-count frames cross-combined into 3 result rows
+    "ext_funnel": {"BroadcastNestedLoopJoin"},
+    # built on cosine_topk: tiny broadcast query side, non-equi
+    # (neighbor != query) condition — same design as ext_cosine_topk
+    "ext_knn_label_agreement": {"BroadcastNestedLoopJoin"},
 }
 
 HARD = ("CartesianProduct", "BatchEvalPython")
