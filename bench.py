@@ -68,7 +68,11 @@ BENCH_QUERIES = [
     "ext_asof_join",
     "ext_range_join",
     "ext_window_analytics",
+    "ext_funnel",
+    "ext_cohort_retention",
+    "ext_knn_label_agreement",
     "ext_rollup",
+    "ext_grouping_sets",
     "ext_quantiles",
     # NOT ext_dedup_clusters: built on the quadratic exact-pair verifier
     "ext_salted_agg",
