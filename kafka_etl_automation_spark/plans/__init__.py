@@ -80,6 +80,7 @@ _PRIORITY = [
     "ext_windowed_counts",
     "stream_sessionize",
     "stream_interval_join",
+    "stream_windowed_counts",
     "ext_funnel",
     "ext_cohort_retention",
     "ext_knn_label_agreement",

@@ -691,6 +691,50 @@ def stream_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.select("user_id", "session_start", "session_end", "n_events")
 
 
+_STREAM_WIN_ORACLE = """
+SELECT time_bucket(INTERVAL 60 MINUTES, ts) AS window_start,
+       time_bucket(INTERVAL 60 MINUTES, ts) + INTERVAL 60 MINUTES AS window_end,
+       COUNT(*) AS n_events,
+       round(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+@register("stream_windowed_counts", _STREAM_WIN_ORACLE)
+def stream_windowed_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation run bounded (availableNow,
+    complete mode): with every event in one batch nothing is ever later
+    than the watermark, so the emitted windows equal the batch aggregation
+    the oracle computes. The watermark bounds state at (watermark + window)
+    of event-time per key in the unbounded deployment — this row proves
+    the streaming plan end-to-end, complementing the batch twin
+    (ext_windowed_counts)."""
+    from kafka_etl_automation_spark.operators import sessions
+
+    events = load_table(spark, sf_dir, "events")
+    root = _tmp("swin")
+    src = os.path.join(root, "src")
+    events.coalesce(1).write.parquet(src)
+    name = "swin_" + os.path.basename(root).replace("-", "_")
+    with _scoped_shuffle_partitions(spark, 8):
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        out = sessions.stream_windowed_counts(
+            stream, window_minutes=60, watermark_minutes=120
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    return spark.table(name).select(
+        "window_start", "window_end", "n_events", "sum_value"
+    )
+
+
 _STREAM_IJ_ORACLE = """
 SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
        p.ts AS purch_ts, p.value AS purch_value
