@@ -398,11 +398,26 @@ def lsh_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    multiprobe_bits: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k: bucket by hyperplane signature, exact rerank
-    within the query's bucket. Recall < 1 by construction (single probe);
-    raise recall with fewer planes or multi-probe. Join is keyed on bucket,
-    so the big side never cross-joins."""
+    within the query's bucket(s). Join is keyed on bucket, so the big side
+    never cross-joins.
+
+    Recall < 1 by construction with a single probe; ``multiprobe_bits=1``
+    additionally probes every bucket whose signature differs in exactly one
+    plane (the classic multi-probe LSH recall lever: a near neighbor most
+    likely lands in a bucket whose signature flips one marginal plane).
+    Cost: the QUERY side fans out x (1 + num_planes); the corpus side is
+    untouched, so the candidate set grows linearly in probes while corpus
+    scan/signature cost is unchanged — the right knob at 100 TB where the
+    corpus side dominates. Each corpus vector lives in exactly one bucket
+    and probes are distinct buckets, so no candidate dedup is needed."""
+    if multiprobe_bits not in (0, 1):
+        raise ValueError(
+            f"multiprobe_bits supports 0 (exact bucket) or 1 (all one-plane "
+            f"flips), got {multiprobe_bits}"
+        )
     sig = hyperplane_signatures(embeddings, num_planes, dim, seed, id_col, vec_col)
     base = embeddings.join(sig, id_col).select(
         F.col(id_col).alias("neighbor_id"),
@@ -419,6 +434,16 @@ def lsh_cosine_topk(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
         )
     )
+    if multiprobe_bits == 1:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)
+            ],
+        )
+        q = q.select(
+            "query_id", "q_vec", F.explode(probes).alias("bucket")
+        )
     scored = (
         base.join(q, "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -83,6 +83,7 @@ _PRIORITY = [
     "stream_windowed_counts",
     "ext_funnel",
     "ext_cohort_retention",
+    "ext_gapfill",
     "ext_knn_label_agreement",
     "ext_window_analytics",
     "ext_rollup",

@@ -673,6 +673,60 @@ def ext_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GAPFILL_ORACLE = """
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+), spine AS (
+  SELECT t.h AS hour FROM bounds, UNNEST(generate_series(lo, hi,
+    INTERVAL 1 HOUR)) AS t(h)
+), types AS (SELECT DISTINCT event_type FROM events),
+actual AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT s.hour, ty.event_type,
+       CAST(COALESCE(a.c, 0) AS BIGINT) AS n_events
+FROM spine s CROSS JOIN types ty
+LEFT JOIN actual a ON a.hour = s.hour AND a.event_type = ty.event_type
+"""
+
+
+@register("ext_gapfill", _GAPFILL_ORACLE)
+def ext_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification (the hypertable/gap-fill shape): hourly
+    event counts per type INCLUDING zero-count hours, so downstream
+    rolling metrics see a regular grid. The dense spine is GENERATED
+    (sequence over the min/max hour from a one-row aggregate frame), never
+    scanned: the only corpus-sized work is the grouped count; the spine x
+    types cross join is |hours| x |types| rows regardless of corpus size,
+    and the final join is keyed on (hour, type)."""
+    t = load_tables(spark, sf_dir, names=("events",))
+    ev = t["events"]
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    actual = ev.groupBy(
+        F.col("event_type"), F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return (
+        spine.crossJoin(F.broadcast(types))  # dense grid: |hours| x |types|
+        .join(actual, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
+
+
 _WINDOWED_ORACLE = """
 SELECT time_bucket(INTERVAL 60 MINUTES, ts) AS window_start,
        time_bucket(INTERVAL 60 MINUTES, ts) + INTERVAL 60 MINUTES AS window_end,

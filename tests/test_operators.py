@@ -396,6 +396,48 @@ def test_kmeans_ivf_recall_floor(spark):
     assert recall >= 0.8, recall
 
 
+def test_lsh_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe LSH (all one-plane flips) must recover at least every
+    pair single-probe finds (its probe set is a superset), carry exact
+    scores, and reject invalid probe configs."""
+    rows = [
+        (i, [float((i * 7 + j * 3) % 5) - 2.0 for j in range(8)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(k=5, num_planes=6, dim=8)
+    single = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.lsh_cosine_topk(emb, q, **kw).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.lsh_cosine_topk(
+            emb, q, multiprobe_bits=1, **kw
+        ).collect()
+    }
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.cosine_topk(emb, q, k=60).collect()
+    }
+    brute_top = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, q, k=5).collect()
+    }
+    # every multi-probe hit is exact-scored; recall never below single-probe
+    assert all(exact[p] == c for p, c in multi.items())
+    r_single = len(set(single) & brute_top) / len(brute_top)
+    r_multi = len(set(multi) & brute_top) / len(brute_top)
+    assert r_multi >= r_single
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiprobe_bits"):
+        similarity.lsh_cosine_topk(emb, q, multiprobe_bits=2, **kw)
+
+
 def test_curation_pipeline_semantics(spark):
     """curate(): quality/lang/token filters drop bad docs, duplicate
     content keeps only the canonical (min id) copy, split is content-keyed
