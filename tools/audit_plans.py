@@ -49,6 +49,9 @@ ALLOW = {
     # built on cosine_topk: tiny broadcast query side, non-equi
     # (neighbor != query) condition — same design as ext_cosine_topk
     "ext_knn_label_agreement": {"BroadcastNestedLoopJoin"},
+    # dense time spine x broadcast distinct-types grid: |hours| x |types|
+    # rows by construction, independent of corpus size
+    "ext_gapfill": {"BroadcastNestedLoopJoin"},
 }
 
 HARD = ("CartesianProduct", "BatchEvalPython")
