@@ -84,6 +84,7 @@ _PRIORITY = [
     "ext_funnel",
     "ext_cohort_retention",
     "ext_gapfill",
+    "ext_rolling_counts",
     "ext_knn_label_agreement",
     "ext_window_analytics",
     "ext_rollup",

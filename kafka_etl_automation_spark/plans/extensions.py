@@ -673,6 +673,51 @@ def ext_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROLLING_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour, n_events,
+       CAST(SUM(n_events) OVER (
+         PARTITION BY event_type
+         ORDER BY CAST(floor(epoch(hour)) AS BIGINT)
+         RANGE BETWEEN 82800 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS rolling_24h_events
+FROM hourly
+"""
+
+
+@register("ext_rolling_counts", _ROLLING_ORACLE)
+def ext_rolling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame rolling aggregate — the window-frame family
+    ext_window_analytics (ROW frames) does not cover: per-type 24-hour
+    rolling event counts over hourly buckets, where the frame is defined
+    by an event-TIME distance (82800s = 23h back through the current
+    hour), so missing hours shorten the window instead of silently
+    widening it the way a ROWS frame would. One grouped count (map-side
+    combinable) then one type-keyed window — two shuffles total, and the
+    window input is |hours| x |types| rows regardless of corpus size."""
+    t = load_tables(spark, sf_dir, names=("events",))
+    ev = t["events"]
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("hour"))
+        .rangeBetween(-23 * 3600, 0)
+    )
+    return hourly.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.sum("n_events").over(w).alias("rolling_24h_events"),
+    )
+
+
 _GAPFILL_ORACLE = """
 WITH bounds AS (
   SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
