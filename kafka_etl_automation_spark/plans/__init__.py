@@ -85,6 +85,8 @@ _PRIORITY = [
     "ext_cohort_retention",
     "ext_gapfill",
     "ext_rolling_counts",
+    "ext_sliding_windows",
+    "ext_session_window",
     "ext_knn_label_agreement",
     "ext_window_analytics",
     "ext_rollup",

@@ -673,6 +673,92 @@ def ext_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SLIDING_ORACLE = """
+WITH starts AS (
+  SELECT time_bucket(INTERVAL 15 MINUTES, ts)
+           - s.k * INTERVAL 15 MINUTES AS window_start,
+         value
+  FROM events, UNNEST([0, 1, 2, 3]) AS s(k)
+  WHERE ts >= time_bucket(INTERVAL 15 MINUTES, ts) - s.k * INTERVAL 15 MINUTES
+    AND ts <  time_bucket(INTERVAL 15 MINUTES, ts) - s.k * INTERVAL 15 MINUTES
+               + INTERVAL 60 MINUTES
+)
+SELECT window_start, window_start + INTERVAL 60 MINUTES AS window_end,
+       COUNT(*) AS n_events, round(SUM(value), 6) AS sum_value
+FROM starts GROUP BY 1
+"""
+
+
+@register("ext_sliding_windows", _SLIDING_ORACLE)
+def ext_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping (sliding) event-time windows: 60-minute windows every
+    15 minutes, so each event contributes to 4 windows — the smoothing
+    shape tumbling windows can't express. Native `F.window(ts, 60m, 15m)`:
+    Spark expands each row into its windows scan-side (an Expand of x4,
+    no join), then one grouped aggregation; the oracle replays the same
+    expansion with generate-series arithmetic."""
+    t = load_tables(spark, sf_dir, names=("events",))
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "60 minutes", "15 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_SESSION_WINDOW_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id)
+                   >= 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), seq AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS s
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTES AS session_end,
+       COUNT(*) AS n_events
+FROM seq GROUP BY user_id, s
+"""
+
+
+@register("ext_session_window", _SESSION_WINDOW_ORACLE)
+def ext_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session windows (`F.session_window`, the idiomatic
+    twin of the hand-built operators.sessions.sessionize): groupBy(user,
+    session_window(ts, 30m)) merges overlapping [ts, ts+gap) intervals in
+    one aggregation — no lag/running-sum window pass at all. Native
+    semantics close a session when the next event is >= gap away (vs the
+    manual operator's strict >) and define session_end = last_ts + gap;
+    the oracle mirrors both. Works identically in Structured Streaming
+    (merging session state) — this row pins the batch semantics."""
+    t = load_tables(spark, sf_dir, names=("events",))
+    return (
+        t["events"]
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 _ROLLING_ORACLE = """
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events
