@@ -71,6 +71,10 @@ BENCH_QUERIES = [
     "ext_funnel",
     "ext_cohort_retention",
     "ext_knn_label_agreement",
+    "ext_gapfill",
+    "ext_rolling_counts",
+    "ext_sliding_windows",
+    "ext_session_window",
     "ext_rollup",
     "ext_grouping_sets",
     "ext_quantiles",
