@@ -24,6 +24,14 @@ FAST_SUBSET = [
     "ext_text_stats",
     "ext_cosine_topk",
     "mm_frame_sample",
+    # r04 additions: the ts-consuming operator the NTZ drift broke, plus
+    # one row per new analytics family
+    "ext_sessionize",
+    "ext_funnel",
+    "ext_cohort_retention",
+    "ext_gapfill",
+    "ext_session_window",
+    "ext_grouping_sets",
 ]
 
 
