@@ -561,11 +561,11 @@ SELECT * FROM (
   UNION ALL
   SELECT 'view_click', (SELECT COUNT(*) FROM c),
          round(1.0 * (SELECT COUNT(*) FROM c)
-               / (SELECT COUNT(*) FROM v), 6)
+               / NULLIF((SELECT COUNT(*) FROM v), 0), 6)
   UNION ALL
   SELECT 'view_click_purchase', (SELECT COUNT(*) FROM p),
          round(1.0 * (SELECT COUNT(*) FROM p)
-               / (SELECT COUNT(*) FROM v), 6)
+               / NULLIF((SELECT COUNT(*) FROM v), 0), 6)
 )
 """
 
@@ -684,7 +684,9 @@ WITH starts AS (
                + INTERVAL 60 MINUTES
 )
 SELECT window_start, window_start + INTERVAL 60 MINUTES AS window_end,
-       COUNT(*) AS n_events, round(SUM(value), 6) AS sum_value
+       COUNT(*) AS n_events,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+         AS sum_value
 FROM starts GROUP BY 1
 """
 
@@ -703,7 +705,11 @@ def ext_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "60 minutes", "15 minutes"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            # sum rides DECIMAL so the x4 Expand's partition-order-dependent
+            # double accumulation can't flip the 6th decimal vs the oracle
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("sum_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),

@@ -677,6 +677,10 @@ def stream_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             # are pending, so poll the sink to the known total, then stop
             deadline = time.time() + 120
             while time.time() < deadline:
+                if q.exception() is not None:
+                    # a dead query would otherwise burn the deadline and
+                    # fail with a misleading row-count assertion
+                    raise q.exception()
                 if spark.table(name).count() >= expected:
                     break
                 time.sleep(0.5)

@@ -110,7 +110,10 @@ def main() -> int:
             errors.append(name)
             msg = str(exc).splitlines()[0][:200]
             print(f"  {name:28s} ERROR {msg} [{time.time()-t0:.1f}s]")
-            spark.catalog.clearCache()
+            try:  # a dead session makes clearCache itself raise; the
+                spark.catalog.clearCache()  # sweep must still continue
+            except Exception:
+                pass
             continue
         spark.catalog.clearCache()  # LSH ops persist() multi-branch frames
         if name not in oracles:
