@@ -81,6 +81,7 @@ _PRIORITY = [
     "stream_sessionize",
     "stream_interval_join",
     "stream_windowed_counts",
+    "stream_dedup",
     "ext_funnel",
     "ext_cohort_retention",
     "ext_gapfill",

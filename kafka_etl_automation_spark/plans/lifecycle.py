@@ -802,6 +802,72 @@ def stream_interval_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_DEDUP_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+"""
+
+
+@register("stream_dedup", _STREAM_DEDUP_ORACLE)
+def stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once stream dedup run bounded: the events table drains as
+    micro-batch 1, then a planted redelivery file (every 7th event, exact
+    broker-style replays — Kafka_ArrivalToConform.sh:221-237's at-least-
+    once arrival) drains as micro-batch 2, and
+    ``streaming.ingest.exactly_once_dedup`` must emit each event_id once.
+
+    The watermark here (60 days) exceeds the 30-day event span so NOTHING
+    is late — every suppressed redelivery is proven dropped by keyed dedup
+    STATE carried across micro-batches, not by late-data eviction. The
+    unbounded deployment runs the same plan with a short watermark, which
+    bounds state at |keys-per-watermark| and hands older replays to the
+    idempotent sink layer (see exactly_once_dedup docstring). Oracle =
+    the distinct-by-key batch equivalent, i.e. the events table itself."""
+    from kafka_etl_automation_spark.streaming import ingest as s_ingest
+
+    events = load_table(spark, sf_dir, "events")
+    root = _tmp("sdedup")
+    src = os.path.join(root, "src")
+    # batch 1: the full corpus; batch 2 (strictly later mtime => later
+    # micro-batch): exact redeliveries of every 7th event
+    events.coalesce(1).write.parquet(src)
+    events.filter(F.col("event_id") % 7 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    name = "sdedup_" + os.path.basename(root).replace("-", "_")
+    with _scoped_shuffle_partitions(spark, 8):
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = s_ingest.exactly_once_dedup(
+            stream, key_cols=("event_id",), ts_col="ts", watermark="60 days"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        # the redeliveries must have arrived in a LATER micro-batch, or
+        # this would only prove in-batch dedup, not state carry-over
+        last_batch = (q.lastProgress or {}).get("batchId", 0)
+        assert last_batch >= 1, (
+            f"expected >=2 micro-batches, saw batchId={last_batch}"
+        )
+    got = spark.table(name)
+    n_got, n_src = got.count(), events.count()
+    # a redelivery that leaked through would make this count 1/7 larger
+    assert n_got == n_src, (
+        f"stream dedup emitted {n_got} rows, expected exactly {n_src}"
+    )
+    return got.select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
 @register(
     "pipeline_arrival_to_dim",
     """SELECT 'bronze' AS layer, COUNT(*) AS n_rows FROM events
