@@ -404,19 +404,21 @@ def lsh_cosine_topk(
     within the query's bucket(s). Join is keyed on bucket, so the big side
     never cross-joins.
 
-    Recall < 1 by construction with a single probe; ``multiprobe_bits=1``
-    additionally probes every bucket whose signature differs in exactly one
-    plane (the classic multi-probe LSH recall lever: a near neighbor most
-    likely lands in a bucket whose signature flips one marginal plane).
-    Cost: the QUERY side fans out x (1 + num_planes); the corpus side is
-    untouched, so the candidate set grows linearly in probes while corpus
-    scan/signature cost is unchanged — the right knob at 100 TB where the
-    corpus side dominates. Each corpus vector lives in exactly one bucket
-    and probes are distinct buckets, so no candidate dedup is needed."""
-    if multiprobe_bits not in (0, 1):
+    Recall < 1 by construction with a single probe; ``multiprobe_bits=t``
+    additionally probes every bucket whose signature lies within Hamming
+    distance <= t of the query's (the classic multi-probe LSH recall
+    lever: a near neighbor most likely lands in a bucket that flips a few
+    marginal planes). Cost: the QUERY side fans out x sum_{i<=t}
+    C(num_planes, i) — e.g. 13 probes at (12 planes, t=1), 79 at t=2 —
+    while the corpus side is untouched: candidate volume grows with probe
+    count but corpus scan/signature cost is unchanged, the right knob at
+    100 TB where the corpus side dominates. The probe masks are distinct
+    constants folded into one query-side explode, and each corpus vector
+    lives in exactly one bucket, so no candidate dedup is needed."""
+    if not 0 <= multiprobe_bits <= num_planes:
         raise ValueError(
-            f"multiprobe_bits supports 0 (exact bucket) or 1 (all one-plane "
-            f"flips), got {multiprobe_bits}"
+            f"multiprobe_bits must lie in [0, num_planes={num_planes}], "
+            f"got {multiprobe_bits}"
         )
     sig = hyperplane_signatures(embeddings, num_planes, dim, seed, id_col, vec_col)
     base = embeddings.join(sig, id_col).select(
@@ -434,12 +436,17 @@ def lsh_cosine_topk(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
         )
     )
-    if multiprobe_bits == 1:
+    if multiprobe_bits > 0:
+        from itertools import combinations
+
+        masks = [
+            sum(1 << p for p in combo)
+            for t in range(1, multiprobe_bits + 1)
+            for combo in combinations(range(num_planes), t)
+        ]
         probes = F.array(
             F.col("bucket"),
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)
-            ],
+            *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks],
         )
         q = q.select(
             "query_id", "q_vec", F.explode(probes).alias("bucket")

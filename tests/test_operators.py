@@ -7,6 +7,8 @@ from pyspark.sql import functions as F
 
 from kafka_etl_automation_spark.operators import dedup, multimodal, similarity, text
 
+from tests.conftest import SF_SMALL
+
 
 def docs_df(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
@@ -435,7 +437,36 @@ def test_lsh_multiprobe_recall_dominates_single_probe(spark):
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="multiprobe_bits"):
-        similarity.lsh_cosine_topk(emb, q, multiprobe_bits=2, **kw)
+        similarity.lsh_cosine_topk(emb, q, multiprobe_bits=7, **kw)
+    with _pytest.raises(ValueError, match="multiprobe_bits"):
+        similarity.lsh_cosine_topk(emb, q, multiprobe_bits=-1, **kw)
+
+
+def test_lsh_multiprobe_recall_floor_on_gate_data(spark):
+    """t-bit multi-probe on the REAL gate embeddings: recall@5 vs brute
+    force must clear 0.9 at the documented default (6 planes, t=4) and
+    grow monotonically in t. The gate vectors are near-isotropic — the
+    hardest case for hyperplane LSH, which is why the default probes
+    deep; clustered production embeddings need far smaller t."""
+    emb = spark.read.parquet(SF_SMALL + "/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, q, k=5).collect()
+    }
+    recalls = []
+    for t in (1, 2, 4):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.lsh_cosine_topk(
+                emb, q, k=5, num_planes=6, multiprobe_bits=t
+            ).collect()
+        }
+        recalls.append(len(got & brute) / len(brute))
+    assert recalls == sorted(recalls), recalls  # monotone in probe depth
+    assert recalls[-1] >= 0.9, recalls
 
 
 def test_curation_pipeline_semantics(spark):
