@@ -178,6 +178,95 @@ def lsh_embedding_near_dup_pairs(
     )
 
 
+def _lloyd_step(v: DataFrame, cent: DataFrame) -> DataFrame:
+    """One Lloyd iteration: broadcast-centroid assign (round-6 cosine
+    argmax, cell-id tiebreak) then element-wise mean through exact DECIMAL
+    sums — the deterministic building block shared by ``kmeans_centroids``
+    and ``kmeans_convergence``."""
+    scored = v.join(F.broadcast(cent)).withColumn(
+        "csim",
+        F.round(
+            _dot(F.col("e"), F.col("ce")) / (_norm(F.col("e")) * _norm(F.col("ce"))),
+            6,
+        ),
+    )
+    # argmax via max_by (partial-aggregable, map-side combine) instead
+    # of a row_number window — no sort shuffle of the N x n_cells
+    # frame; tiebreak on lowest cell id matches the oracle's
+    # ORDER BY csim DESC, cell ASC
+    asg = scored.groupBy("vid").agg(
+        F.max_by("cell", F.struct(F.col("csim"), -F.col("cell"))).alias("cell")
+    )
+    return (
+        v.join(asg, "vid")
+        .select("cell", F.posexplode("e").alias("pos", "val"))
+        .groupBy("cell", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(30,10)")).cast("double")
+                / F.count(F.lit(1)),
+                8,
+            ).alias("cv")
+        )
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s["cv"],
+            ).alias("ce")
+        )
+    )
+
+
+def kmeans_convergence(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_mod: int = 1,
+) -> DataFrame:
+    """Per-iteration Lloyd convergence metrics: one row per iteration with
+    the max and mean Euclidean centroid shift — the observable that tells a
+    caller whether ``iters`` was enough (shift ~0 => converged; a large
+    final shift => raise ``iters``).
+
+    Everything stays in-engine: each iteration's centroid frame is n_cells
+    rows (persisted, so the metric union replays no Lloyd lineage), the
+    shift is a zip_with/aggregate over centroid pairs, and the returned
+    frame is ``iters`` rows — no data row ever reaches the driver. At
+    100 TB the marginal cost over plain training is one n_cells-row join
+    per iteration: free."""
+    from pyspark import StorageLevel
+    from functools import reduce
+
+    full = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("e")
+    )
+    cent = full.filter(F.col("vid") < n_cells).select(
+        F.col("vid").alias("cell"), F.col("e").alias("ce")
+    )
+    v = full.filter(F.col("vid") % train_mod == 0) if train_mod > 1 else full
+    sq_diff = F.zip_with("prev", "cur", lambda a, b: (a - b) * (a - b))
+    shift = F.sqrt(F.aggregate(sq_diff, F.lit(0.0), lambda acc, x: acc + x))
+    metrics = []
+    for i in range(1, iters + 1):
+        new = _lloyd_step(v, cent).persist(StorageLevel.MEMORY_AND_DISK)
+        pair = (
+            cent.select("cell", F.col("ce").alias("prev"))
+            .join(new.select("cell", F.col("ce").alias("cur")), "cell")
+            .select(shift.alias("shift"))
+        )
+        metrics.append(
+            pair.agg(
+                F.round(F.max("shift"), 8).alias("max_shift"),
+                F.round(F.avg("shift"), 8).alias("mean_shift"),
+            ).select(F.lit(i).alias("iteration"), "max_shift", "mean_shift")
+        )
+        cent = new
+    return reduce(DataFrame.unionByName, metrics)
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     n_cells: int = 16,
@@ -221,39 +310,7 @@ def kmeans_centroids(
     )
     v = full.filter(F.col("vid") % train_mod == 0) if train_mod > 1 else full
     for _ in range(iters):
-        scored = v.join(F.broadcast(cent)).withColumn(
-            "csim",
-            F.round(
-                _dot(F.col("e"), F.col("ce")) / (_norm(F.col("e")) * _norm(F.col("ce"))),
-                6,
-            ),
-        )
-        # argmax via max_by (partial-aggregable, map-side combine) instead
-        # of a row_number window — no sort shuffle of the N x n_cells
-        # frame; tiebreak on lowest cell id matches the oracle's
-        # ORDER BY csim DESC, cell ASC
-        asg = scored.groupBy("vid").agg(
-            F.max_by("cell", F.struct(F.col("csim"), -F.col("cell"))).alias("cell")
-        )
-        cent = (
-            v.join(asg, "vid")
-            .select("cell", F.posexplode("e").alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(
-                F.round(
-                    F.sum(F.col("val").cast("decimal(30,10)")).cast("double")
-                    / F.count(F.lit(1)),
-                    8,
-                ).alias("cv")
-            )
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
-                    lambda s: s["cv"],
-                ).alias("ce")
-            )
-        )
+        cent = _lloyd_step(v, cent)
     # n_cells rows; persisted because callers (ivf_topk) reference the
     # centroid frame from two plan branches (vector + query assignment) —
     # without this the whole Lloyd lineage executes twice

@@ -442,6 +442,33 @@ def test_lsh_multiprobe_recall_dominates_single_probe(spark):
         similarity.lsh_cosine_topk(emb, q, multiprobe_bits=-1, **kw)
 
 
+def test_kmeans_convergence_shift_non_increasing(spark):
+    """kmeans_convergence emits one (iteration, max_shift, mean_shift) row
+    per Lloyd iteration; on separable clusters the max shift must be
+    non-increasing and hit 0 once assignments stabilise — the observable
+    that documents when iters=2 suffices and when a caller should raise
+    it."""
+    # 3 tight clusters along distinct axes; seeds 0-2 land one per cluster
+    rows = []
+    for i in range(90):
+        c = i % 3
+        base = [0.0] * 6
+        base[c * 2] = 10.0
+        base[c * 2 + 1] = (i % 7) * 0.1  # deterministic jitter
+        rows.append((i if i < 3 else i, base))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    m = {
+        r.iteration: r
+        for r in similarity.kmeans_convergence(emb, n_cells=3, iters=4).collect()
+    }
+    shifts = [m[i].max_shift for i in (1, 2, 3, 4)]
+    assert all(
+        a >= b for a, b in zip(shifts, shifts[1:])
+    ), shifts  # non-increasing
+    assert shifts[-1] == 0.0, shifts  # converged: assignments stable
+    assert all(m[i].mean_shift <= m[i].max_shift for i in m)
+
+
 def test_lsh_multiprobe_recall_floor_on_gate_data(spark):
     """t-bit multi-probe on the REAL gate embeddings: recall@5 vs brute
     force must clear 0.9 at the documented default (6 planes, t=4) and
