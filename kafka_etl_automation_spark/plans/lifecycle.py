@@ -515,6 +515,8 @@ def stream_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                    WHERE o_totalprice > 250000.0 GROUP BY o_custkey),
             t_bad AS (SELECT o_custkey, COUNT(*) AS n FROM orders
                       WHERE o_totalprice > 300000.0 GROUP BY o_custkey),
+            s2 AS (SELECT o_orderstatus, COUNT(*) AS n FROM orders
+                   GROUP BY o_orderstatus),
             d1 AS (SELECT COUNT(*) c FROM (SELECT * FROM s1 EXCEPT SELECT * FROM t_bad)),
             d2 AS (SELECT COUNT(*) c FROM (SELECT * FROM t_bad EXCEPT SELECT * FROM s1))
        SELECT 'orders_selfcheck_count' AS check_name, 'PASS' AS status,
@@ -531,13 +533,25 @@ def stream_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
        SELECT 'threshold_drift_diff',
               CASE WHEN d1.c = 0 AND d2.c = 0 THEN 'PASS' ELSE 'FAIL' END,
               d1.c, d2.c
-       FROM d1, d2""",
+       FROM d1, d2
+       UNION ALL
+       SELECT 'multi_stmt_1_count', 'PASS',
+              (SELECT COUNT(*) FROM s1), (SELECT COUNT(*) FROM s1)
+       UNION ALL
+       SELECT 'multi_stmt_1_diff', 'PASS', 0, 0
+       UNION ALL
+       SELECT 'multi_stmt_2_count', 'PASS',
+              (SELECT COUNT(*) FROM s2), (SELECT COUNT(*) FROM s2)
+       UNION ALL
+       SELECT 'multi_stmt_2_diff', 'PASS', 0, 0""",
 )
 def fact_validation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.2 FACT_AUTOMATION end-to-end: a ':'-delimited config file of
     (check, source query, target query) rows (S8) drives parameterized
-    count + symmetric-MINUS validations (F9/Q1/Q2) — one matching pair and
-    one deliberately drifted pair."""
+    count + symmetric-MINUS validations (F9/Q1/Q2) — one matching pair,
+    one deliberately drifted pair, and one MULTI-STATEMENT row whose
+    source/target fields carry two ';'-separated queries validated
+    index-paired (the Kafka_3NF.sh:195-215 IFS=';' loop, literally)."""
     from kafka_etl_automation_spark import io as kio
 
     load_tables(spark, sf_dir, names=("orders",))
@@ -545,6 +559,7 @@ def fact_validation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT o_custkey, COUNT(*) AS n FROM orders "
         "WHERE o_totalprice > {lo} GROUP BY o_custkey"
     )
+    q2 = "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus"
     # '|'-delimited (not ':' — the SQL text itself contains :param markers)
     cfg_path = os.path.join(_tmp("facts"), "testing_queries.txt")
     with open(cfg_path, "w") as f:
@@ -553,6 +568,9 @@ def fact_validation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             + q.format(lo=":lo") + "|" + q.format(lo=":lo") + "\n"
             "threshold_drift|"
             + q.format(lo=":lo") + "|" + q.format(lo="300000.0") + "\n"
+            "multi_stmt|"
+            + q.format(lo=":lo") + ";" + q2 + "|"
+            + q.format(lo=":lo") + ";" + q2 + "\n"
         )
     config = kio.read_delimited(
         spark, cfg_path, sep="|",

@@ -160,14 +160,31 @@ def run_config_validations(
     shape; each validation's data-plane work is a lazy Spark plan. ``params``
     are bound into the query text via parameterized spark.sql (F9), never
     string substitution.
+
+    A row's source/target fields may each hold MULTIPLE ``;``-separated
+    statements — the reference splits both on ``;`` and loops index-paired
+    sub-queries (Kafka_3NF.sh:195-215's ``IFS=';'`` arrays). Multi-statement
+    rows emit per-pair checks named ``{name}_{i}``; a source/target
+    statement-count mismatch is an error here (the reference would silently
+    validate against an empty string).
     """
     rows = config.select(name_col, source_col, target_col).collect()
     results = []
     for r in rows:
-        src = spark.sql(r[source_col], args=params or {})
-        tgt = spark.sql(r[target_col], args=params or {})
-        results.append(count_check(src, tgt, f"{r[name_col]}_count"))
-        results.append(data_diff(src, tgt, f"{r[name_col]}_diff"))
+        src_stmts = [s.strip() for s in r[source_col].split(";") if s.strip()]
+        tgt_stmts = [s.strip() for s in r[target_col].split(";") if s.strip()]
+        if len(src_stmts) != len(tgt_stmts):
+            raise ValueError(
+                f"{r[name_col]}: {len(src_stmts)} source statements vs "
+                f"{len(tgt_stmts)} target statements"
+            )
+        multi = len(tgt_stmts) > 1
+        for i, (s_sql, t_sql) in enumerate(zip(src_stmts, tgt_stmts), 1):
+            nm = f"{r[name_col]}_{i}" if multi else r[name_col]
+            src = spark.sql(s_sql, args=params or {})
+            tgt = spark.sql(t_sql, args=params or {})
+            results.append(count_check(src, tgt, f"{nm}_count"))
+            results.append(data_diff(src, tgt, f"{nm}_diff"))
     return run_suite(results)
 
 
