@@ -6,7 +6,13 @@ hash (columns sorted by name, rows sorted by stringified tuple). Strict
 string equality on cell values — stricter than any plausible driver hash,
 so passing here is a good predictor of passing the driver gate.
 
-Usage: python tools/check_correctness.py [sf_dir] [name ...]
+Usage: python tools/check_correctness.py [--partitions N] [sf_dir] [name ...]
+
+--partitions N sizes spark.sql.shuffle.partitions (default 32, the driver
+gate's value). Because every oracle hash is partition-count-independent, a
+green full sweep at a second value (e.g. 7) proves the whole board
+partition-invariant: spark@N == oracle == spark@32 — the float-summation /
+LISTAGG-ordering failure class cannot hide (VERDICT r04 #3).
 """
 
 from __future__ import annotations
@@ -66,8 +72,14 @@ def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    partitions = "32"
+    if "--partitions" in argv:
+        i = argv.index("--partitions")
+        partitions = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entry_mod
     from pyspark.sql import SparkSession
@@ -78,7 +90,7 @@ def main() -> int:
     spark = (
         SparkSession.builder.master("local[32]")
         .appName("check-correctness")
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", partitions)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
         .getOrCreate()
@@ -144,7 +156,8 @@ def main() -> int:
                 print("    duck  head:", d.head(3).to_dict("records"))
     print(f"\n{n_run - len(failures) - len(errors) - len(no_oracle)} ok, "
           f"{len(failures)} failed, {len(errors)} errored, "
-          f"{len(no_oracle)} rows-only")
+          f"{len(no_oracle)} rows-only "
+          f"[shuffle.partitions={partitions}]")
     if failures:
         print("FAILED:", failures)
     if errors:
