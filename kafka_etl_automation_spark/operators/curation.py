@@ -30,7 +30,7 @@ from kafka_etl_automation_spark.operators import text
 from kafka_etl_automation_spark.operators.dedup import normalized_text
 
 
-def curate(
+def score_and_filter(
     documents: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -40,8 +40,10 @@ def curate(
     max_tokens: int = 100_000,
     train_pct: int = 90,
 ) -> DataFrame:
-    """Curated corpus manifest: (doc_id, lang, n_tokens, quality, split),
-    one row per surviving canonical document."""
+    """The scan-side half of :func:`curate`: score + filter as pure
+    projections over the documents scan — no shuffle at any scale. Exposed
+    as its own seam so per-stage cost attribution (tools/stage_bench.py)
+    times exactly the plan ``curate`` runs, not a reconstruction of it."""
     toks = F.split(normalized_text(text_col), " ")
     scored = documents.select(
         F.col(id_col).alias("doc_id"),
@@ -64,10 +66,34 @@ def curate(
             6,
         ).alias("quality"),
     )
-    kept = scored.filter(
+    return scored.filter(
         (F.col("quality") >= min_quality)
         & F.col("lang").isin(*langs)
         & F.col("n_tokens").between(min_tokens, max_tokens)
+    )
+
+
+def curate(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.4,
+    langs: tuple[str, ...] = ("en",),
+    min_tokens: int = 12,
+    max_tokens: int = 100_000,
+    train_pct: int = 90,
+) -> DataFrame:
+    """Curated corpus manifest: (doc_id, lang, n_tokens, quality, split),
+    one row per surviving canonical document."""
+    kept = score_and_filter(
+        documents,
+        text_col=text_col,
+        id_col=id_col,
+        min_quality=min_quality,
+        langs=langs,
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
+        train_pct=train_pct,
     )
     return (
         kept.groupBy("fingerprint")

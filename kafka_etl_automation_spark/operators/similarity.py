@@ -134,47 +134,59 @@ def lsh_embedding_near_dup_pairs(
     exact and recall is the tunable part (more tables / fewer planes).
 
     Skew guard (audit note, VERDICT r02 #4): buckets larger than
-    ``max_bucket`` are dropped before the self-join, mirroring
+    ``max_bucket`` are dropped before pair generation, mirroring
     ``dedup.minhash_lsh_pairs`` — one degenerate bucket (zero vectors, a
     repeated template embedding) would otherwise go quadratic at scale.
     The candidate count is thus bounded by N/max_bucket * max_bucket^2.
-    """
-    from pyspark import StorageLevel
 
-    # sig feeds both the bucket-size pass and the join; persist the compact
-    # (id, bucket) frame so the Arrow signature pass runs once. Bucket
-    # sizing via a count window (not groupBy+join-back): its one (bucket)
-    # exchange is the partitioning the self-join wants anyway — see
-    # dedup.minhash_lsh_pairs for the measured 3x.
+    Verification is one numpy GEMM per bucket group (applyInPandas): the
+    round-5 scale-proof caught the previous shape — bucket self-join +
+    per-pair ``F.aggregate`` cosine — going 100x super-linear on a 30x
+    corpus (222 s: ~7M candidate pairs x dim interpreted, non-codegen
+    element ops). A bucket group is <= max_bucket rows, so the in-group
+    pairwise cosine is a <= max_bucket^2 BLAS matmul (~8 MB fp64 at the
+    default cap); the count-window sizing pass already hash-partitions by
+    bucket, so applyInPandas reuses that exchange instead of adding one.
+    Scores are computed in float64 exactly like the exact verifier's
+    column expression and rounded to 6 dp, keeping the precision
+    invariant (every emitted pair matches ``embedding_near_dup_pairs``).
+    """
+    import numpy as np
+    import pandas as pd
+
     sig = hyperplane_signatures(
         embeddings, num_planes, dim, seed, id_col, vec_col
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     wb = Window.partitionBy("bucket")
-    sig = (
-        sig.withColumn("bsz", F.count(F.lit(1)).over(wb))
-        .filter(F.col("bsz") <= max_bucket)
-        .select(id_col, "bucket")
+    base = (
+        embeddings.select(id_col, vec_col)
+        .join(sig, id_col)
+        .withColumn("bsz", F.count(F.lit(1)).over(wb))
+        .filter((F.col("bsz") <= max_bucket) & (F.col("bsz") >= 2))
+        .select(id_col, vec_col, "bucket")
     )
-    base = embeddings.join(sig, id_col)
-    x = base.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
-    )
-    y = base.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
-    )
-    return (
-        x.join(y, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine",
-            F.round(
-                _dot(F.col("va"), F.col("vb"))
-                / (_norm(F.col("va")) * _norm(F.col("vb"))),
-                6,
-            ),
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)  # ids unique -> deterministic pair order
+        ids = ids[order]
+        mat = np.vstack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = np.nan  # zero vectors: NaN cosine, filtered
+        cos = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = cos[ia, ib] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "cosine": cos[ia[keep], ib[keep]],
+            }
         )
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")  # one bucket per vector -> pairs unique
+
+    # one bucket per vector -> pairs unique across groups
+    return base.groupBy("bucket").applyInPandas(
+        verify, "id_a long, id_b long, cosine double"
     )
 
 
