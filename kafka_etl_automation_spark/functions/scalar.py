@@ -34,6 +34,42 @@ def dsum(col: Column | str, precision: int = 18, scale: int = 2) -> Column:
     return F.sum(dec(col, precision, scale)).cast("double")
 
 
+def exact_sum(col: Column, scale: int, int_digits: int = 8) -> Column:
+    """Order-independent exact SUM of a decimal column at compact-decimal
+    speed: hi/lo split so both sum buffers stay <= 18 digits.
+
+    Spark stores Decimal values with precision <= 18 in a plain long
+    (compact) and mutates aggregate buffers in place; a SUM over input
+    precision > 8 gets a buffer of precision p+10 > 18, which falls into
+    per-row BigDecimal boxing — measured 8-13x slower on the round-5
+    scale-proof (sf3.0: sum(decimal(12,2)) 7.9s vs 1.0s for the same sum
+    with a compact buffer; a3_pricing_summary 22.6s -> ~3s). The split
+
+        sum(x) = sum(floor(x)) + sum(x - floor(x))
+
+    is exact for any decimal x (also negative: x - floor(x) in [0,1)), so
+    the result is the same exact decimal — bit-identical after cast to
+    double, and still partition-order independent, because integer
+    arithmetic is associative. Buffer headroom at 100 TB: hi sums in
+    decimal(18,0) (capacity 1e18 ~ 1e12 lineitem-sized rows x 1e5 values);
+    lo sums in decimal(18,scale) (capacity 10^(18-scale) rows of < 1.0
+    each — ~1e12 at scale=6). Beyond that, pre-aggregate per partition
+    first. ``scale`` must match the input column's decimal scale (<= 7);
+    ``int_digits`` must cover the integer part of every value (a too-small
+    cast would NULL out rows under non-ANSI overflow) — 8 covers any
+    per-row value < 1e8 while keeping the buffer compact.
+    """
+    if not 0 <= scale <= 7:
+        raise ValueError(f"exact_sum supports scale 0..7, got {scale}")
+    if not 1 <= int_digits <= 8:
+        raise ValueError(f"int_digits must be 1..8, got {int_digits}")
+    hi = F.floor(col).cast(f"decimal({int_digits},0)")
+    lo = (col - F.floor(col)).cast(f"decimal(8,{scale})")
+    return (F.sum(hi).cast(f"decimal(38,{scale})") + F.sum(lo)).cast(
+        f"decimal(38,{scale})"
+    )
+
+
 def nvl(col: Column | str, default) -> Column:
     """Oracle NVL (/root/reference/FACT_AUTOMATION.sh:49) -> coalesce."""
     c = F.col(col) if isinstance(col, str) else col

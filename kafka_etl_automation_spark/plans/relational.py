@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_etl_automation_spark.catalog import load_tables
-from kafka_etl_automation_spark.functions.scalar import dec, nvl
+from kafka_etl_automation_spark.functions.scalar import dec, exact_sum, nvl
 from kafka_etl_automation_spark.plans.registry import register
 
 
@@ -496,25 +496,34 @@ def a3_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: pure map-side-combinable agg over the fact table; 6 aggregates in
     one pass, one shuffle of ~|groups| rows. This is the headline bench agg.
+
+    Every decimal stays within Spark's 18-digit compact (long-backed)
+    representation: inputs are cast to the narrowest decimal that holds
+    TPC-H values (price < 1e6 -> (8,2); rates < 10 -> (3,2)), products
+    compound to (12,4)/(16,6) — still compact per row — and the sums ride
+    ``exact_sum``'s hi/lo split so the aggregate buffers stay compact too.
+    Identical exact values (no overflow anywhere), same order-independence,
+    measured 22.6s -> ~3s at the 30x scale-proof SF (see functions.scalar).
     """
     t = load_tables(spark, sf_dir, names=("lineitem",))
     li = t["lineitem"].filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
-    one = F.lit(1).cast("decimal(4,2)")
-    disc_price = dec("l_extendedprice", 12, 2) * (one - dec("l_discount", 4, 2))
-    charge = disc_price.cast("decimal(18,4)") * (one + dec("l_tax", 4, 2))
+    one = F.lit(1).cast("decimal(3,2)")
+    disc_price = dec("l_extendedprice", 8, 2) * (one - dec("l_discount", 3, 2))
+    charge = disc_price.cast("decimal(12,4)") * (one + dec("l_tax", 3, 2))
+    sum_qty = exact_sum(dec("l_quantity", 4, 2), scale=2)
     return (
         li.groupBy(
             F.col("l_returnflag").alias("returnflag"),
             F.col("l_linestatus").alias("linestatus"),
         )
         .agg(
-            F.sum(dec("l_quantity", 12, 2)).cast("double").alias("sum_qty"),
-            F.sum(dec("l_extendedprice", 12, 2)).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (F.sum(dec("l_quantity", 12, 2)).cast("double") / F.count("*")).alias(
-                "avg_qty"
-            ),
+            sum_qty.cast("double").alias("sum_qty"),
+            exact_sum(dec("l_extendedprice", 8, 2), scale=2)
+            .cast("double")
+            .alias("sum_base_price"),
+            exact_sum(disc_price, scale=4).cast("double").alias("sum_disc_price"),
+            exact_sum(charge, scale=6).cast("double").alias("sum_charge"),
+            (sum_qty.cast("double") / F.count("*")).alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
     )

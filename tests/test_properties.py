@@ -144,3 +144,29 @@ def test_token_budget_matches_global_greedy(spark, rows, budget):
         for r in curation.token_budget_select(scored, budget=budget).collect()
     }
     assert got == expected
+
+
+@given(
+    vals=st.lists(
+        st.decimals(
+            min_value="-99999.99", max_value="99999.99", places=2
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    nparts=st.sampled_from([1, 3, 8]),
+)
+@settings(**SETTINGS)
+def test_exact_sum_equals_plain_decimal_sum(spark, vals, nparts):
+    """exact_sum's hi/lo compact split must equal the plain (non-compact)
+    decimal SUM exactly — any values incl. negatives, any partitioning."""
+    from pyspark.sql import functions as F
+
+    from kafka_etl_automation_spark.functions.scalar import exact_sum
+
+    df = spark.createDataFrame(
+        [(str(v),) for v in vals], "s string"
+    ).repartition(nparts).select(F.col("s").cast("decimal(8,2)").alias("x"))
+    got = df.agg(exact_sum(F.col("x"), scale=2).alias("s")).collect()[0].s
+    want = df.agg(F.sum(F.col("x").cast("decimal(12,2)")).alias("s")).collect()[0].s
+    assert got == want
