@@ -11,7 +11,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kafka_etl_automation_spark.operators.dedup import normalized_text
+from kafka_etl_automation_spark.operators.dedup import (
+    _fanout_rebalance,
+    normalized_text,
+)
 
 # Tiny per-language function-word lists for the n-gram/stopword heuristic.
 # Deliberately small: the operator demonstrates deterministic, engine-
@@ -43,18 +46,29 @@ def bpe_ish_token_count(col: Column | str) -> Column:
 
 
 def _word_hits(col: Column | str, words: tuple[str, ...]) -> Column:
-    """Count tokens equal to any of ``words`` via array filtering.
+    """Count tokens equal to any of ``words``.
 
-    Token-exact, so adjacent repeats count fully ('the the' = 2). The old
-    padded-substring approach undercounted them because non-overlapping
-    replace consumed the shared separator space (ADVICE r01). Portable:
-    DuckDB's len(list_filter(...)) reproduces it exactly.
+    Token-exact, so adjacent repeats count fully ('the the' = 2). Two
+    formulations were rejected on the way here:
+    - padded-substring REPLACE undercounted adjacent repeats because a
+      non-overlapping replace consumes the shared separator space
+      (ADVICE r01);
+    - size(filter(tokens, ...)) is correct but an array HOF — lambda
+      functions are CodegenFallback, evaluated interpreted per token, and
+      the round-5 stage attribution showed the text-scoring projections
+      (5 such filters in the curation pipeline) at 200x the scan cost.
+    This version splits the space-padded normalized text on
+    ``(?<= )(word1|word2|...)(?= )``: the lookarounds anchor matches to
+    whole tokens WITHOUT consuming the separators, so adjacent repeats
+    each match, and prefix-shadowing ('a' before 'and') is resolved by
+    regex backtracking against the lookahead. Plain codegen expressions
+    end to end — curation score pass 38.5s -> ~4s at the 30x scale-proof
+    SF. The DuckDB oracles keep the len(list_filter(...)) form; both count
+    the same tokens.
     """
-    toks = F.split(normalized_text(col), " ")
-    word_arr = F.array(*[F.lit(w) for w in words])
-    return F.size(F.filter(toks, lambda t: F.array_contains(word_arr, t))).cast(
-        "double"
-    )
+    pat = "(?<= )(?:" + "|".join(words) + ")(?= )"
+    padded = F.concat(F.lit(" "), normalized_text(col), F.lit(" "))
+    return (F.size(F.split(padded, pat)) - F.lit(1)).cast("double")
 
 
 def _marker_score(col: Column | str, words: tuple[str, ...]) -> Column:
@@ -67,16 +81,24 @@ def lang_scores(col: Column | str) -> dict[str, Column]:
 
 def lang_id(col: Column | str) -> Column:
     """Argmax language over marker scores, 'und' (undetermined) when all
-    scores are 0. Ties break by language code order — fully deterministic."""
-    scores = lang_scores(col)
-    best_lang = F.lit("und")
-    best_score = F.lit(0.0)
-    for lang in sorted(LANG_MARKERS):  # later wins only on strict >
-        s = scores[lang]
-        is_better = s > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, s).otherwise(best_score)
-    return best_lang
+    scores are 0. Ties break by language code order — fully deterministic:
+    array_position returns the FIRST index holding the max, which equals
+    the old fold's later-wins-only-on-strict-> rule.
+
+    Shaped as array_max + array_position over one score array rather than
+    a nested CASE fold: conditional branches are excluded from Spark's
+    subexpression elimination, so the fold form re-evaluated each marker
+    scan up to ~6x per row (round-5 plan read); here each score expression
+    appears once, unconditionally — CSE collapses the repeats."""
+    codes = sorted(LANG_MARKERS)
+    scores = F.array(*[_marker_score(col, LANG_MARKERS[c]) for c in codes])
+    mx = F.array_max(scores)
+    return F.when(mx <= 0, F.lit("und")).otherwise(
+        F.element_at(
+            F.array(*[F.lit(c) for c in codes]),
+            F.array_position(scores, mx).cast("int"),
+        )
+    )
 
 
 def stopword_ratio(col: Column | str) -> Column:
@@ -85,9 +107,15 @@ def stopword_ratio(col: Column | str) -> Column:
 
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document statistics: lengths, token counts, vocabulary richness,
-    stopword ratio. Single projection — one pass over the corpus."""
+    stopword ratio. Single projection — one pass over the corpus.
+
+    Fanned out to core count first: the round-5 stage attribution showed
+    these CPU-bound projections running on the scan's split count (a
+    small single-file corpus scans as ~4 tasks — 15x slower than the same
+    expressions at 32-way); the rebalance is guarded pass-through on any
+    scan that is already wide, i.e. any real-scale corpus."""
     toks = F.split(normalized_text(text_col), " ")
-    return df.select(
+    return _fanout_rebalance(df).select(
         F.col(id_col),
         F.length(text_col).alias("n_chars"),
         token_count(text_col).alias("n_tokens"),
@@ -256,7 +284,7 @@ def winnowing_fingerprints(
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content fingerprint: md5 over normalized text plus a 64-bit rolling
     xxhash — the join key for exact dedup and incremental re-crawl diffing."""
-    return df.select(
+    return _fanout_rebalance(df).select(
         F.col(id_col),
         F.md5(normalized_text(text_col)).alias("fp_md5"),
         F.xxhash64(normalized_text(text_col)).alias("fp_xx64"),
@@ -297,7 +325,7 @@ def bigram_coherence(
             F.slice(toks, 2, n - 1).alias("w2"),
         ),
     ).otherwise(F.array())
-    bg = df.select(
+    bg = _fanout_rebalance(df).select(
         F.col(id_col), F.explode(pairs).alias("p")
     ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
 
@@ -337,7 +365,7 @@ def repetition_stats(
     pairs = F.arrays_zip(
         F.slice(toks, 1, n - 1).alias("w1"), F.slice(toks, 2, n - 1).alias("w2")
     )
-    base = df.filter(n >= 2).select(
+    base = _fanout_rebalance(df).filter(n >= 2).select(
         F.col(id_col),
         pairs.alias("bgs"),
         F.round(

@@ -223,9 +223,11 @@ FROM sc
 
 @register("ext_lang_id", _LANG_ORACLE)
 def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic marker-word language ID (operators.text.lang_id)."""
+    """Deterministic marker-word language ID (operators.text.lang_id).
+    Fanned out to core count: the scoring projection is CPU-bound and a
+    small corpus scans narrow (round-5 stage attribution)."""
     t = load_tables(spark, sf_dir, names=("documents",))
-    return t["documents"].select(
+    return dedup._fanout_rebalance(t["documents"]).select(
         "doc_id", text.lang_id("text").alias("lang_pred")
     )
 
@@ -492,9 +494,11 @@ FROM n
 def ext_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting both ways (operators.text): whitespace tokens and the
     BPE-ish pre-tokenizer estimate (regex split on letter/digit/punct
-    transitions) — the budget signal for training-data curation."""
+    transitions) — the budget signal for training-data curation. Fanned
+    out to core count: two regex passes per document are CPU-bound and a
+    small corpus scans narrow (round-5 stage attribution)."""
     t = load_tables(spark, sf_dir, names=("documents",))
-    d = t["documents"]
+    d = dedup._fanout_rebalance(t["documents"])
     return d.select(
         "doc_id",
         text.token_count("text").alias("n_tokens"),
