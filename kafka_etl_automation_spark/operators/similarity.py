@@ -23,7 +23,35 @@ from pyspark.sql import functions as F
 from kafka_etl_automation_spark.operators.dedup import _fanout_rebalance
 
 
-def _dot(a, b):
+def _dot(a, b, dim: int | None = None):
+    """Left-fold dot product: sum_i a[i]*b[i] accumulated in index order.
+
+    With ``dim`` known the fold is UNROLLED into a chain of element_at
+    multiply-adds — the exact same IEEE operations in the exact same
+    order as the F.aggregate fold (bit-identical results, oracle hashes
+    unchanged), but plain codegen expressions instead of a lambda HOF:
+    higher-order functions are CodegenFallback and evaluate interpreted
+    per element, which the round-5 scale-proof measured at ~50x the cost
+    on the embedding-family plans (IVF assignment = N x n_cells folds).
+    Out-of-range element_at yields NULL, matching zip_with's null-pad.
+    Without ``dim`` (unknown-width arrays) the HOF fold remains.
+
+    Round-5 A/B on the 30x corpus: unrolling wins where one input is a
+    small broadcast side scored against the whole corpus (IVF/k-means
+    assignment, 52s -> 19s) but LOSES ~2x on small-candidate rerank
+    shapes (cosine_topk 0.8s -> 1.4s; the giant generated method stops
+    being JIT-friendly while the fold volume is tiny) — so callers pass
+    ``dim`` only on assignment-shaped plans and keep the HOF fold for
+    reranks.
+    """
+    if dim is not None:
+        acc = F.lit(0.0)
+        for i in range(1, dim + 1):
+            acc = acc + (
+                F.element_at(a, i).cast("double")
+                * F.element_at(b, i).cast("double")
+            )
+        return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -31,7 +59,15 @@ def _dot(a, b):
     )
 
 
-def _norm(a):
+def _norm(a, dim: int | None = None):
+    """sqrt of the left-fold sum of squares; see ``_dot`` for why the
+    known-``dim`` form unrolls instead of using an interpreted HOF."""
+    if dim is not None:
+        acc = F.lit(0.0)
+        for i in range(1, dim + 1):
+            x = F.element_at(a, i).cast("double")
+            acc = acc + x * x
+        return F.sqrt(acc)
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
@@ -48,6 +84,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
@@ -68,8 +105,8 @@ def cosine_topk(
         .withColumn(
             "cosine",
             F.round(
-                _dot(F.col("vec"), F.col("q_vec"))
-                / (_norm(F.col("vec")) * _norm(F.col("q_vec"))),
+                _dot(F.col("vec"), F.col("q_vec"), dim)
+                / (_norm(F.col("vec"), dim) * _norm(F.col("q_vec"), dim)),
                 6,
             ),
         )
@@ -87,6 +124,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a, b), a < b, with
     cosine >= threshold — the semantic-dedup primitive for training data.
@@ -107,8 +145,8 @@ def embedding_near_dup_pairs(
         .withColumn(
             "cosine",
             F.round(
-                _dot(F.col("va"), F.col("vb"))
-                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                _dot(F.col("va"), F.col("vb"), dim)
+                / (_norm(F.col("va"), dim) * _norm(F.col("vb"), dim)),
                 6,
             ),
         )
@@ -190,7 +228,9 @@ def lsh_embedding_near_dup_pairs(
     )
 
 
-def _lloyd_step(v: DataFrame, cent: DataFrame) -> DataFrame:
+def _lloyd_step(
+    v: DataFrame, cent: DataFrame, dim: int | None = None
+) -> DataFrame:
     """One Lloyd iteration: broadcast-centroid assign (round-6 cosine
     argmax, cell-id tiebreak) then element-wise mean through exact DECIMAL
     sums — the deterministic building block shared by ``kmeans_centroids``
@@ -198,7 +238,8 @@ def _lloyd_step(v: DataFrame, cent: DataFrame) -> DataFrame:
     scored = v.join(F.broadcast(cent)).withColumn(
         "csim",
         F.round(
-            _dot(F.col("e"), F.col("ce")) / (_norm(F.col("e")) * _norm(F.col("ce"))),
+            _dot(F.col("e"), F.col("ce"), dim)
+        / (_norm(F.col("e"), dim) * _norm(F.col("ce"), dim)),
             6,
         ),
     )
@@ -237,6 +278,7 @@ def kmeans_convergence(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_mod: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """Per-iteration Lloyd convergence metrics: one row per iteration with
     the max and mean Euclidean centroid shift — the observable that tells a
@@ -263,7 +305,7 @@ def kmeans_convergence(
     shift = F.sqrt(F.aggregate(sq_diff, F.lit(0.0), lambda acc, x: acc + x))
     metrics = []
     for i in range(1, iters + 1):
-        new = _lloyd_step(v, cent).persist(StorageLevel.MEMORY_AND_DISK)
+        new = _lloyd_step(v, cent, dim).persist(StorageLevel.MEMORY_AND_DISK)
         pair = (
             cent.select("cell", F.col("ce").alias("prev"))
             .join(new.select("cell", F.col("ce").alias("cur")), "cell")
@@ -286,6 +328,7 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_mod: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """Deterministic distributed Lloyd iterations -> (cell, cvec) centroids.
 
@@ -322,7 +365,7 @@ def kmeans_centroids(
     )
     v = full.filter(F.col("vid") % train_mod == 0) if train_mod > 1 else full
     for _ in range(iters):
-        cent = _lloyd_step(v, cent)
+        cent = _lloyd_step(v, cent, dim)
     # n_cells rows; persisted because callers (ivf_topk) reference the
     # centroid frame from two plan branches (vector + query assignment) —
     # without this the whole Lloyd lineage executes twice
@@ -343,6 +386,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     centroids: DataFrame | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: partition vectors into inverted-file
     cells around centroid vectors, search only the query's ``n_probe``
@@ -366,8 +410,8 @@ def ivf_topk(
         scored = df.join(centroids, F.lit(True)).withColumn(
             "csim",
             F.round(
-                _dot(F.col(vec_out), F.col("cvec"))
-                / (_norm(F.col(vec_out)) * _norm(F.col("cvec"))),
+                _dot(F.col(vec_out), F.col("cvec"), dim)
+                / (_norm(F.col(vec_out), dim) * _norm(F.col("cvec"), dim)),
                 6,
             ),
         )
@@ -409,8 +453,8 @@ def ivf_topk(
         .withColumn(
             "cosine",
             F.round(
-                _dot(F.col("vec"), F.col("q_vec"))
-                / (_norm(F.col("vec")) * _norm(F.col("q_vec"))),
+                _dot(F.col("vec"), F.col("q_vec"), dim)
+                / (_norm(F.col("vec"), dim) * _norm(F.col("q_vec"), dim)),
                 6,
             ),
         )
@@ -525,6 +569,9 @@ def lsh_cosine_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
+            # HOF fold, not the unrolled form: candidate volume here is
+            # small (bucket-matched pairs) and the unrolled 385-node tree
+            # measured ~2x slower on this shape (round-5 A/B) — see _dot
             F.round(
                 _dot(F.col("vec"), F.col("q_vec"))
                 / (_norm(F.col("vec")) * _norm(F.col("q_vec"))),

@@ -473,9 +473,9 @@ def ext_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    cent = similarity.kmeans_centroids(emb, n_cells=16, iters=2)
+    cent = similarity.kmeans_centroids(emb, n_cells=16, iters=2, dim=64)
     return similarity.ivf_topk(
-        emb, queries, k=5, n_cells=16, n_probe=2, centroids=cent
+        emb, queries, k=5, n_cells=16, n_probe=2, centroids=cent, dim=64
     )
 
 
