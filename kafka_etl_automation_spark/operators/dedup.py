@@ -550,7 +550,11 @@ def boilerplate_span_dedup(
         F.sequence(F.lit(0), n_spans - F.lit(1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i * span + 1, span)),
     )
-    base = df.select(
+    # fan-out first: the span build + explode is CPU-multiplying and this
+    # frame is evaluated twice (heavy-set pass + join-back pass); on a
+    # narrow small-corpus scan that was 2 x 17s at 4 tasks vs 2 x 3s at
+    # core count (round-5 stage timing; pass-through on any wide scan)
+    base = _fanout_rebalance(df).select(
         F.col(id_col).alias("id"),
         F.posexplode(spans_arr).alias("span_idx", "span_text"),
     )
