@@ -36,13 +36,16 @@ def _dot(a, b, dim: int | None = None):
     Out-of-range element_at yields NULL, matching zip_with's null-pad.
     Without ``dim`` (unknown-width arrays) the HOF fold remains.
 
-    Round-5 A/B on the 30x corpus: unrolling wins where one input is a
-    small broadcast side scored against the whole corpus (IVF/k-means
-    assignment, 52s -> 19s) but LOSES ~2x on small-candidate rerank
-    shapes (cosine_topk 0.8s -> 1.4s; the giant generated method stops
-    being JIT-friendly while the fold volume is tiny) — so callers pass
-    ``dim`` only on assignment-shaped plans and keep the HOF fold for
-    reranks.
+    Round-5 A/B on the 30x corpus: unrolling beat the HOF fold ~2.7x on
+    assignment-shaped plans (52s -> 19s) but both lose badly to compiled
+    code — the 64-term chain generates a method past the JIT's
+    huge-method limit and runs in the bytecode interpreter, so the
+    corpus-wide assignment paths moved to the Arrow-vectorized left-fold
+    in ``_assign_scores`` (bit-identical, numpy C speed). ``dim`` unroll
+    remains the right tool for ONE chain evaluated once per row (norm
+    hoists, modest rerank volumes); the HOF fold remains for
+    small-candidate shapes where plan compile cost dominates
+    (cosine_topk rerank A/B'd 2x faster with the fold).
     """
     if dim is not None:
         acc = F.lit(0.0)
@@ -228,20 +231,85 @@ def lsh_embedding_near_dup_pairs(
     )
 
 
+def _assign_scores(
+    df: DataFrame, cent: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Score every vector against every centroid: skinny
+    ``(id_col, cell, csim_raw)`` frame via an Arrow-vectorized numpy
+    left-fold.
+
+    The in-engine alternative (unrolled element_at chains over the
+    x n_cells broadcast join) generates a single method past the JVM
+    JIT's huge-method limit, so it executes in the bytecode interpreter —
+    the round-5 scale-proof measured the 960k-pair projection at 12s.
+    Here the fold runs as ``acc += M[:, i] * C[j, i]`` — vectorized over
+    rows, looped over index — so every row sees the exact IEEE op
+    sequence of the oracle's unrolled SQL fold (acc from 0.0, index
+    order, widen-then-multiply, norms multiplied before the one divide):
+    bit-identical csim values at numpy C speed. Rounding and the argmax
+    tiebreak stay in-engine so engine-side semantics (HALF_UP round,
+    max_by struct ordering) are never re-implemented in Python.
+
+    Centroid model state (n_cells x dim doubles) transits the driver —
+    the same contract as Spark MLlib's KMeans, which collects centers
+    every iteration; DATA rows never leave the executors, and the Arrow
+    output is ~24 bytes x N x n_cells."""
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(cent.collect(), key=lambda r: r[0])
+    cells_np = np.array([r[0] for r in rows], dtype=np.int64)
+    c_mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    n_cells, dim_ = c_mat.shape
+    c_norm = np.zeros(n_cells)
+    for i in range(dim_):  # left-fold of squares, same order as _norm
+        c_norm = c_norm + c_mat[:, i] * c_mat[:, i]
+    c_norm = np.sqrt(c_norm)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            v_norm = np.zeros(len(m))
+            for i in range(dim_):
+                v_norm = v_norm + m[:, i] * m[:, i]
+            v_norm = np.sqrt(v_norm)
+            out_id, out_cell, out_sim = [], [], []
+            with np.errstate(divide="ignore", invalid="ignore"):
+                for j in range(n_cells):
+                    acc = np.zeros(len(m))
+                    for i in range(dim_):
+                        acc = acc + m[:, i] * c_mat[j, i]
+                    out_id.append(ids)
+                    out_cell.append(np.full(len(m), cells_np[j]))
+                    out_sim.append(acc / (v_norm * c_norm[j]))
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(out_id),
+                    "cell": np.concatenate(out_cell),
+                    "csim_raw": np.concatenate(out_sim),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, cell long, csim_raw double"
+    )
+
+
 def _lloyd_step(
     v: DataFrame, cent: DataFrame, dim: int | None = None
 ) -> DataFrame:
-    """One Lloyd iteration: broadcast-centroid assign (round-6 cosine
+    """One Lloyd iteration: Arrow-batched centroid assign (round-6 cosine
     argmax, cell-id tiebreak) then element-wise mean through exact DECIMAL
     sums — the deterministic building block shared by ``kmeans_centroids``
-    and ``kmeans_convergence``."""
-    scored = v.join(F.broadcast(cent)).withColumn(
-        "csim",
-        F.round(
-            _dot(F.col("e"), F.col("ce"), dim)
-        / (_norm(F.col("e"), dim) * _norm(F.col("ce"), dim)),
-            6,
-        ),
+    and ``kmeans_convergence``. ``cent`` is executed (n_cells rows) to
+    seed the assignment closure; see _assign_scores for why. ``dim`` is
+    kept for signature stability (the Arrow fold reads the width from the
+    centroid matrix)."""
+    scored = _assign_scores(v, cent, "vid", "e").withColumn(
+        "csim", F.round(F.col("csim_raw"), 6)
     )
     # argmax via max_by (partial-aggregable, map-side combine) instead
     # of a row_number window — no sort shuffle of the N x n_cells
@@ -294,7 +362,10 @@ def kmeans_convergence(
     from pyspark import StorageLevel
     from functools import reduce
 
-    full = embeddings.select(
+    # assignment multiplies CPU x n_cells per row; a small parquet corpus
+    # scans narrow (round-5 scale-proof: 60k vectors = 4 tasks), so fan
+    # out to core count first — guarded pass-through on wide scans
+    full = _fanout_rebalance(embeddings).select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("e")
     )
     cent = full.filter(F.col("vid") < n_cells).select(
@@ -332,10 +403,14 @@ def kmeans_centroids(
 ) -> DataFrame:
     """Deterministic distributed Lloyd iterations -> (cell, cvec) centroids.
 
-    Textbook distributed k-means, fully in-engine (no driver collect):
+    Textbook distributed k-means. Centroid MODEL STATE (n_cells x dim
+    doubles) transits the driver between iterations — the same contract as
+    Spark MLlib's KMeans, which collects cluster centers every iteration;
+    data rows never leave the executors:
       init    = first ``n_cells`` vectors by id (seeded, reproducible);
-      assign  = broadcast-centroid join, round-6 cosine argmax with cell-id
-                tiebreak (deterministic);
+      assign  = Arrow-vectorized left-fold scoring (_assign_scores;
+                bit-identical to the oracle's unrolled fold), round-6
+                cosine argmax with cell-id tiebreak in-engine;
       update  = element-wise mean via exact DECIMAL sums (order-independent
                 across partitionings/engines), rounded to 8 dp.
     Every step is engine-reproducible, so an unrolled SQL oracle hashes
@@ -355,7 +430,8 @@ def kmeans_centroids(
     one (cell, pos)-keyed aggregation of n_cells*dim rows — no shuffle of
     the vectors themselves beyond the partial-agg combine.
     """
-    full = embeddings.select(
+    # fan out before the x n_cells assignment stage (see kmeans_convergence)
+    full = _fanout_rebalance(embeddings).select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("e")
     )
     # seed from the FULL set (sampling must not shrink the seed block),
@@ -404,37 +480,45 @@ def ivf_topk(
         centroids = embeddings.filter(F.col(id_col) < n_cells).select(
             F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec")
         )
-    centroids = F.broadcast(centroids.select("cell", "cvec"))
+    centroids = centroids.select("cell", "cvec")
 
     def nearest_cells(df: DataFrame, id_out: str, vec_out: str, n: int) -> DataFrame:
-        scored = df.join(centroids, F.lit(True)).withColumn(
-            "csim",
-            F.round(
-                _dot(F.col(vec_out), F.col("cvec"), dim)
-                / (_norm(F.col(vec_out), dim) * _norm(F.col("cvec"), dim)),
-                6,
-            ),
+        # skinny Arrow-batched scoring (see _assign_scores: bit-identical
+        # left-fold, no x n_cells row fan-out of the vectors themselves);
+        # round + argmax tiebreak stay in-engine
+        sc_ = _assign_scores(df, centroids, id_out, vec_out).withColumn(
+            "csim", F.round(F.col("csim_raw"), 6)
         )
         if n == 1:
             # the hot path (every vector): max_by aggregation, partial
-            # combine, no sort shuffle; any_value is safe because the
-            # vector is constant within its group
-            return scored.groupBy(id_out).agg(
-                F.any_value(vec_out).alias(vec_out),
+            # combine, no sort shuffle
+            best = sc_.groupBy(id_out).agg(
                 F.max_by("cell", F.struct(F.col("csim"), -F.col("cell"))).alias(
                     "cell"
-                ),
-            ).select(id_out, vec_out, "cell")
-        # the probe path (queries only, tiny): top-n needs a ranking window
-        w = Window.partitionBy(id_out).orderBy(F.desc("csim"), F.asc("cell"))
-        return (
-            scored.withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") <= n)
-            .select(id_out, vec_out, "cell")
+                )
+            )
+        else:
+            # the probe path (queries only, tiny): top-n ranking window
+            w = Window.partitionBy(id_out).orderBy(F.desc("csim"), F.asc("cell"))
+            best = (
+                sc_.withColumn("crank", F.row_number().over(w))
+                .filter(F.col("crank") <= n)
+                .select(id_out, "cell")
+            )
+        # re-attach the vector (plus its norm, reused by the rerank) via a
+        # keyed join — AQE broadcasts the skinny side when it fits
+        return df.withColumn("_vn", _norm(F.col(vec_out), dim)).join(
+            best, id_out
         )
 
     base = nearest_cells(
-        embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")),
+        # every vector scores against n_cells centroids — fan a narrow
+        # scan out to core count first (guarded, pass-through when wide)
+        _fanout_rebalance(
+            embeddings.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
+            )
+        ),
         "neighbor_id",
         "vec",
         1,  # each vector lives in exactly its nearest cell
@@ -448,13 +532,13 @@ def ivf_topk(
         n_probe,
     )
     scored = (
-        base.join(q, "cell")
+        base.join(q.withColumnRenamed("_vn", "_qn"), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
             F.round(
                 _dot(F.col("vec"), F.col("q_vec"), dim)
-                / (_norm(F.col("vec"), dim) * _norm(F.col("q_vec"), dim)),
+                / (F.col("_vn") * F.col("_qn")),
                 6,
             ),
         )
