@@ -70,6 +70,46 @@ def exact_sum(col: Column, scale: int, int_digits: int = 8) -> Column:
     )
 
 
+def exact_sum_scale10(col: Column) -> Column:
+    """Order-independent exact SUM of a decimal(p,10) column with every
+    aggregate buffer compact: three-way split
+
+        sum(x) = sum(floor(x)) + (sum(f1) + sum(f2)) * 1e-5
+
+    where f1 = the first five fractional digits of r = x - floor(x)
+    (as the integer floor(r * 1e5), r in [0,1) also for negative x) and
+    f2 = the last five (a scale-5 decimal in [0,1)). Every split step is
+    exact decimal arithmetic, so the result VALUE equals ``F.sum(col)``
+    exactly — oracles over the plain decimal sum are unaffected — while
+    the three sum buffers stay at precisions 18/16/18 (compact longs,
+    in-place mutation) instead of the p+10 > 18 buffer of the plain sum,
+    which boxes a BigDecimal per row (see exact_sum; measured 8-13x).
+    The recombination stays exact by construction: sum(f1) is cast to
+    decimal(20,5) (capacity ~1e15 rows of < 1e5 each — beyond exact_sum's
+    documented 1e12-row headroom) so the final multiply's ideal precision
+    (27,10) never exceeds 38, which is what would force Spark to shave
+    scale digits. For |x| < 1e8 with scale 10 — the element-wise
+    centroid-mean shape exact_sum's scale <= 7 limit cannot serve.
+    """
+    hi = F.floor(col).cast("decimal(8,0)")
+    # r in [0,1) needs only decimal(11,10); narrowing it is what keeps the
+    # *1e5 multiply's ideal type (18,10) under precision 38 — on the wide
+    # intermediate type Spark would shave scale digits (precision loss)
+    r = (col - F.floor(col)).cast("decimal(11,10)")
+    r5 = r * F.lit(100000)  # d1..d5 . d6..d10, exact
+    f1 = F.floor(r5).cast("decimal(6,0)")
+    f2 = (r5 - F.floor(r5)).cast("decimal(8,5)")  # 5 digits, exact
+    frac = (
+        (F.sum(f1).cast("decimal(20,5)") + F.sum(f2).cast("decimal(20,5)"))
+        .cast("decimal(20,5)")
+        * F.lit(0.00001).cast("decimal(6,5)")
+    )
+    # hi's cast stays at (28,10) — 18 integer digits of capacity — so the
+    # final add's ideal precision is 29, not the 39 that (38,10) + frac
+    # would demand (39 > 38 again shaves a scale digit)
+    return (F.sum(hi).cast("decimal(28,10)") + frac).cast("decimal(38,10)")
+
+
 def nvl(col: Column | str, default) -> Column:
     """Oracle NVL (/root/reference/FACT_AUTOMATION.sh:49) -> coalesce."""
     c = F.col(col) if isinstance(col, str) else col

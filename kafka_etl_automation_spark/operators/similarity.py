@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from kafka_etl_automation_spark.functions import scalar
 from kafka_etl_automation_spark.operators.dedup import _fanout_rebalance
 
 
@@ -258,6 +259,10 @@ def _assign_scores(
     import pandas as pd
 
     rows = sorted(cent.collect(), key=lambda r: r[0])
+    if not rows:  # empty centroid set (empty corpus): no scores
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, cell long, csim_raw double"
+        )
     cells_np = np.array([r[0] for r in rows], dtype=np.int64)
     c_mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
     n_cells, dim_ = c_mat.shape
@@ -324,7 +329,12 @@ def _lloyd_step(
         .groupBy("cell", "pos")
         .agg(
             F.round(
-                F.sum(F.col("val").cast("decimal(30,10)")).cast("double")
+                # exact_sum_scale10 == the plain decimal sum VALUE (oracle
+                # unchanged) with compact buffers — the plain sum's
+                # precision-40 buffer boxes a BigDecimal per exploded row
+                scalar.exact_sum_scale10(
+                    F.col("val").cast("decimal(30,10)")
+                ).cast("double")
                 / F.count(F.lit(1)),
                 8,
             ).alias("cv")

@@ -721,3 +721,59 @@ def test_audio_windows_exact_values(spark):
         for r in multimodal.audio_windows(df, window=4).collect()
     }
     assert got == {(1, 0, 0, 3.0, 6), (1, 1, 4, 101.0, 104)}
+
+
+def test_assign_scores_bit_identical_to_unrolled_expression(spark):
+    """The Arrow-vectorized left-fold in similarity._assign_scores must be
+    BIT-identical to the in-engine unrolled element_at chain it replaced
+    (same IEEE op sequence: acc from 0.0 in index order, widen, norms
+    multiplied before the one divide) — raw doubles compared with ==, no
+    tolerance, across a non-trivial partitioning."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kafka_etl_automation_spark.operators import similarity
+
+    random.seed(13)
+    dim = 16
+    vecs = [
+        (i, [random.uniform(-2, 2) for _ in range(dim)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        vecs, "vid long, e array<double>"
+    ).repartition(5)
+    cent = spark.createDataFrame(
+        [(j, [random.uniform(-2, 2) for _ in range(dim)]) for j in range(4)],
+        "cell long, ce array<double>",
+    )
+    got = {
+        (r.vid, r.cell): r.csim_raw
+        for r in similarity._assign_scores(df, cent, "vid", "e").collect()
+    }
+    want_df = df.join(F.broadcast(cent)).select(
+        "vid",
+        "cell",
+        (
+            similarity._dot(F.col("e"), F.col("ce"), dim)
+            / (
+                similarity._norm(F.col("e"), dim)
+                * similarity._norm(F.col("ce"), dim)
+            )
+        ).alias("csim_raw"),
+    )
+    want = {(r.vid, r.cell): r.csim_raw for r in want_df.collect()}
+    assert set(got) == set(want)
+    assert all(got[k] == want[k] for k in want)  # bitwise, no tolerance
+
+
+def test_assign_scores_empty_centroids(spark):
+    """An empty centroid frame (empty corpus) yields an empty score frame
+    with the contract schema instead of a numpy shape error."""
+    from kafka_etl_automation_spark.operators import similarity
+
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "vid long, e array<double>")
+    cent = spark.createDataFrame([], "cell long, ce array<double>")
+    out = similarity._assign_scores(df, cent, "vid", "e")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["vid", "cell", "csim_raw"]

@@ -170,3 +170,31 @@ def test_exact_sum_equals_plain_decimal_sum(spark, vals, nparts):
     got = df.agg(exact_sum(F.col("x"), scale=2).alias("s")).collect()[0].s
     want = df.agg(F.sum(F.col("x").cast("decimal(12,2)")).alias("s")).collect()[0].s
     assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.decimals(
+            min_value="-99.9999999999", max_value="99.9999999999", places=10
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    nparts=st.sampled_from([1, 3, 8]),
+)
+@settings(**SETTINGS)
+def test_exact_sum_scale10_equals_plain_decimal_sum(spark, vals, nparts):
+    """exact_sum_scale10's three-way compact split must equal the plain
+    decimal(30,10) SUM exactly — any values incl. negatives, any
+    partitioning (the centroid-mean shape exact_sum's scale<=7 cannot
+    serve)."""
+    from pyspark.sql import functions as F
+
+    from kafka_etl_automation_spark.functions.scalar import exact_sum_scale10
+
+    df = spark.createDataFrame(
+        [(str(v),) for v in vals], "s string"
+    ).repartition(nparts).select(F.col("s").cast("decimal(30,10)").alias("x"))
+    got = df.agg(exact_sum_scale10(F.col("x")).alias("s")).collect()[0].s
+    want = df.agg(F.sum("x").alias("s")).collect()[0].s
+    assert got == want
