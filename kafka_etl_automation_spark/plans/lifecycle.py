@@ -692,15 +692,23 @@ def stream_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         try:
             # the engine keeps scheduling cleanup batches while timeouts
-            # are pending, so poll the sink to the known total, then stop
-            deadline = time.time() + 120
+            # are pending, so poll the sink to the known total, then stop.
+            # The deadline is PROGRESS-based (reset whenever the sink
+            # grows), not absolute: the 30x scale-proof ran the fixed
+            # 120s budget down to 118s of genuine processing — an
+            # absolute deadline turns scale growth into a false failure,
+            # while a stalled query still dies within one window.
+            last_n, deadline = -1, time.time() + 120
             while time.time() < deadline:
                 if q.exception() is not None:
                     # a dead query would otherwise burn the deadline and
                     # fail with a misleading row-count assertion
                     raise q.exception()
-                if spark.table(name).count() >= expected:
+                n_now = spark.table(name).count()
+                if n_now >= expected:
                     break
+                if n_now > last_n:
+                    last_n, deadline = n_now, time.time() + 120
                 time.sleep(0.5)
         finally:
             q.stop()
