@@ -30,19 +30,38 @@ STOPWORDS = ("the", "a", "of", "and", "in", "to")
 
 
 def token_count(col: Column | str) -> Column:
-    """Whitespace token count over normalized text."""
-    return F.size(F.split(normalized_text(col), " "))
+    """Whitespace token count over normalized text.
+
+    normalized_text is trimmed and single-space collapsed, so the count is
+    separators + 1 by pure length arithmetic — no split array is ever
+    materialized (the 30x scale-proof put ext_token_counts at the
+    board's steepest ratio; counting without allocating per-token strings
+    removes most of it). Equals size(split(nt, ' ')) exactly, including
+    the empty-string case (0 - 0 + 1 == size(split('', ' ')) == 1)."""
+    nt = normalized_text(col)
+    return (
+        F.length(nt) - F.length(F.replace(nt, F.lit(" "), F.lit(""))) + 1
+    ).cast("int")
 
 
 def bpe_ish_token_count(col: Column | str) -> Column:
-    """Rough subword-token estimate: word-piece boundaries approximated by a
-    regex split on transitions (letters / digits / other), the classic
-    pre-tokenizer shape. Counts only; no vocabulary."""
+    """Rough subword-token estimate: word-piece boundaries approximated by
+    transitions between letters / digits / other, the classic
+    pre-tokenizer shape. Counts only; no vocabulary.
+
+    Each emitted piece of the historical insert-spaces -> collapse ->
+    split pipeline is exactly one maximal single-class run ([a-z]+,
+    [0-9]+ or [^a-z0-9\\s]+ — whitespace separates, is never a token), so
+    counting run MATCHES needs no intermediate strings or arrays; the
+    alternation is first-match so each position is consumed by its own
+    class maximally. greatest(..., 1) reproduces the split pipeline's
+    empty/whitespace-only result (split('') = [''] -> 1) bit-for-bit.
+    The SQL oracle keeps the literal replace/split formulation — equal by
+    the run-decomposition argument above, enforced by the gate hash and
+    test_token_counts_match_split_pipeline."""
     c = F.col(col) if isinstance(col, str) else col
-    pieces = F.regexp_replace(
-        F.lower(c), r"([0-9]+|[^a-z0-9\s]+)", r" $1 "
-    )
-    return F.size(F.split(F.trim(F.regexp_replace(pieces, r"\s+", " ")), " "))
+    runs = F.regexp_count(F.lower(c), F.lit(r"[0-9]+|[^a-z0-9\s]+|[a-z]+"))
+    return F.greatest(runs, F.lit(1)).cast("int")
 
 
 def _word_hits(col: Column | str, words: tuple[str, ...]) -> Column:

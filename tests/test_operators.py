@@ -777,3 +777,36 @@ def test_assign_scores_empty_centroids(spark):
     out = similarity._assign_scores(df, cent, "vid", "e")
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["vid", "cell", "csim_raw"]
+
+
+def test_token_counts_match_split_pipeline(spark):
+    """token_count / bpe_ish_token_count (length-arithmetic / run-count
+    formulations) must equal the historical split-array pipeline exactly,
+    including empty, whitespace-only, punctuation-run and mixed-class
+    edges."""
+    from pyspark.sql import functions as F
+
+    from kafka_etl_automation_spark.operators import text as t
+
+    samples = [
+        "", "   ", "\t\n", "hello world", "  padded   text  ",
+        "a1b2c3", "price: $1,234.56!!", "...", "éàü non-ascii",
+        "UPPER lower 42", "one", "1 2 3", "a-b_c", "x" * 500,
+        "word, word,   word!", "tabs\tand\nnewlines here",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "text string")
+    pieces = F.regexp_replace(
+        F.lower(F.col("text")), r"([0-9]+|[^a-z0-9\s]+)", r" $1 "
+    )
+    old = df.select(
+        "text",
+        F.size(F.split(t.normalized_text("text"), " ")).alias("old_ws"),
+        F.size(
+            F.split(F.trim(F.regexp_replace(pieces, r"\s+", " ")), " ")
+        ).alias("old_bpe"),
+        t.token_count("text").alias("new_ws"),
+        t.bpe_ish_token_count("text").alias("new_bpe"),
+    ).collect()
+    for r in old:
+        assert r.new_ws == r.old_ws, (r.text, r.old_ws, r.new_ws)
+        assert r.new_bpe == r.old_bpe, (r.text, r.old_bpe, r.new_bpe)
