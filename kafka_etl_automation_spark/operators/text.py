@@ -76,18 +76,23 @@ def _word_hits(col: Column | str, words: tuple[str, ...]) -> Column:
       functions are CodegenFallback, evaluated interpreted per token, and
       the round-5 stage attribution showed the text-scoring projections
       (5 such filters in the curation pipeline) at 200x the scan cost.
-    This version splits the space-padded normalized text on
-    ``(?<= )(word1|word2|...)(?= )``: the lookarounds anchor matches to
+    This version counts matches of ``(?<= )(word1|word2|...)(?= )`` over
+    the space-padded normalized text: the lookarounds anchor matches to
     whole tokens WITHOUT consuming the separators, so adjacent repeats
     each match, and prefix-shadowing ('a' before 'and') is resolved by
-    regex backtracking against the lookahead. Plain codegen expressions
-    end to end — curation score pass 38.5s -> ~4s at the 30x scale-proof
-    SF. The DuckDB oracles keep the len(list_filter(...)) form; both count
-    the same tokens.
+    regex backtracking against the lookahead. regexp_count returns the
+    match count directly — the earlier size(split(...)) - 1 form walked
+    the identical matches but also allocated every between-match piece as
+    an array element per row (split keeps trailing empties at limit -1,
+    so pieces == matches + 1 exactly; equality pinned by
+    test_word_hits_count_forms_agree). Plain codegen end to end —
+    curation score pass 38.5s -> ~4s at the 30x scale-proof SF. The
+    DuckDB oracles keep the len(list_filter(...)) form; both count the
+    same tokens.
     """
     pat = "(?<= )(?:" + "|".join(words) + ")(?= )"
     padded = F.concat(F.lit(" "), normalized_text(col), F.lit(" "))
-    return (F.size(F.split(padded, pat)) - F.lit(1)).cast("double")
+    return F.regexp_count(padded, F.lit(pat)).cast("double")
 
 
 def _marker_score(col: Column | str, words: tuple[str, ...]) -> Column:

@@ -810,3 +810,29 @@ def test_token_counts_match_split_pipeline(spark):
     for r in old:
         assert r.new_ws == r.old_ws, (r.text, r.old_ws, r.new_ws)
         assert r.new_bpe == r.old_bpe, (r.text, r.old_bpe, r.new_bpe)
+
+
+def test_word_hits_count_forms_agree(spark):
+    """regexp_count over the lookaround pattern must equal the historical
+    size(split(...)) - 1 form — including adjacent repeats, prefix
+    shadowing, and matches at the text edges."""
+    from pyspark.sql import functions as F
+
+    from kafka_etl_automation_spark.operators import text as t
+
+    words = ("the", "a", "and", "of")
+    samples = [
+        "", "the", "the the", "a and the of", "cathedral theory",
+        "of the people and for a cause", "and", "the end of the line the",
+        "no stop words here", "a a a a a", "andes the andorra",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "text string")
+    pat = "(?<= )(?:" + "|".join(words) + ")(?= )"
+    padded = F.concat(F.lit(" "), t.normalized_text("text"), F.lit(" "))
+    rows = df.select(
+        "text",
+        (F.size(F.split(padded, pat)) - F.lit(1)).cast("double").alias("old"),
+        t._word_hits("text", words).alias("new"),
+    ).collect()
+    for r in rows:
+        assert r.new == r.old, (r.text, r.old, r.new)
