@@ -383,7 +383,14 @@ def kmeans_convergence(
     )
     v = full.filter(F.col("vid") % train_mod == 0) if train_mod > 1 else full
     sq_diff = F.zip_with("prev", "cur", lambda a, b: (a - b) * (a - b))
-    shift = F.sqrt(F.aggregate(sq_diff, F.lit(0.0), lambda acc, x: acc + x))
+    # per-cell shift is rounded to 8 dp BEFORE aggregating: max commutes
+    # with the monotone round, and the mean goes through an exact decimal
+    # sum of the rounded values — both metrics are then order-independent
+    # and engine-reproducible, which is what lets ext_kmeans_convergence
+    # carry a full hash-matched oracle instead of a rows-only check
+    shift = F.round(
+        F.sqrt(F.aggregate(sq_diff, F.lit(0.0), lambda acc, x: acc + x)), 8
+    )
     metrics = []
     for i in range(1, iters + 1):
         new = _lloyd_step(v, cent, dim).persist(StorageLevel.MEMORY_AND_DISK)
@@ -394,8 +401,12 @@ def kmeans_convergence(
         )
         metrics.append(
             pair.agg(
-                F.round(F.max("shift"), 8).alias("max_shift"),
-                F.round(F.avg("shift"), 8).alias("mean_shift"),
+                F.max("shift").alias("max_shift"),
+                F.round(
+                    F.sum(F.col("shift").cast("decimal(18,8)")).cast("double")
+                    / F.count(F.lit(1)),
+                    8,
+                ).alias("mean_shift"),
             ).select(F.lit(i).alias("iteration"), "max_shift", "mean_shift")
         )
         cent = new

@@ -51,6 +51,7 @@ _PRIORITY = [
     "ext_sessionize",
     "ext_cosine_topk",
     "ext_ivf_topk",
+    "ext_kmeans_convergence",
     "ext_text_stats",
     "ext_token_counts",
     "ext_curation_pipeline",

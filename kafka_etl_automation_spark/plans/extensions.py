@@ -479,6 +479,62 @@ def ext_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_shift_cte(prev: str, cur: str) -> str:
+    """Per-cell centroid shift between two Lloyd iterations: round-8
+    Euclidean distance via the same left fold as the Spark zip_with/
+    aggregate (list_reduce starts from the first element; Spark folds from
+    0.0 — IEEE-identical since 0.0 + x == x)."""
+    sq = (
+        f"[({prev}.ce[i] - {cur}.ce[i]) * ({prev}.ce[i] - {cur}.ce[i])"
+        f" FOR i IN range(1, len({prev}.ce)+1)]"
+    )
+    return f"""(
+  SELECT round(sqrt(list_reduce({sq}, (p, q) -> p + q)), 8) AS shift
+  FROM {prev} JOIN {cur} ON {prev}.cell = {cur}.cell)"""
+
+
+def _kmeans_metric_sql(i: int, shifts: str) -> str:
+    """One (iteration, max_shift, mean_shift) row; the mean goes through
+    an exact decimal sum of the rounded shifts — order-independent in
+    both engines, mirroring operators.similarity.kmeans_convergence."""
+    return f"""
+  SELECT {i} AS iteration, MAX(shift) AS max_shift,
+         round(CAST(SUM(CAST(shift AS DECIMAL(18,8))) AS DOUBLE)
+               / COUNT(*), 8) AS mean_shift
+  FROM {shifts}"""
+
+
+_KMEANS_CONVERGENCE_ORACLE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c0 AS (SELECT vec_id AS cell, e AS ce FROM v WHERE vec_id < 16),
+a0 AS {_kmeans_assign_cte('c0')},
+c1 AS {_kmeans_update_cte('a0')},
+a1 AS {_kmeans_assign_cte('c1')},
+c2 AS {_kmeans_update_cte('a1')},
+s1 AS {_kmeans_shift_cte('c0', 'c1')},
+s2 AS {_kmeans_shift_cte('c1', 'c2')}
+{_kmeans_metric_sql(1, 's1')}
+UNION ALL
+{_kmeans_metric_sql(2, 's2')}
+"""
+
+
+@register("ext_kmeans_convergence", _KMEANS_CONVERGENCE_ORACLE)
+def ext_kmeans_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-iteration Lloyd convergence metrics
+    (operators.similarity.kmeans_convergence): one (iteration, max_shift,
+    mean_shift) row per iteration on the real gate embeddings — the
+    observable that tells a caller when ``iters`` was enough. Every step
+    (assignment argmax, decimal-mean update, round-8 shift, decimal-mean
+    metric) is engine-reproducible, so the iterative OBSERVABILITY path
+    gets the same full hash-matched oracle as the IVF training it
+    instruments."""
+    t = load_tables(spark, sf_dir, names=("embeddings",))
+    return similarity.kmeans_convergence(
+        t["embeddings"], n_cells=16, iters=2, dim=64
+    )
+
+
 _TOKEN_COUNT_ORACLE = f"""
 WITH n AS (SELECT doc_id, {_NORM} AS nt FROM documents)
 SELECT doc_id,
