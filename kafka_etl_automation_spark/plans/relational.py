@@ -471,13 +471,15 @@ SELECT l_returnflag AS returnflag,
        l_linestatus AS linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+       CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2)
+            AS DOUBLE)
            AS sum_disc_price,
-       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       CAST(round(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
                      * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
                      AS DECIMAL(18,4))
-                * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+                * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2)
+            AS DOUBLE)
            AS sum_charge,
        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
        COUNT(*) AS count_order
@@ -504,6 +506,16 @@ def a3_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``exact_sum``'s hi/lo split so the aggregate buffers stay compact too.
     Identical exact values (no overflow anywhere), same order-independence,
     measured 22.6s -> ~3s at the 30x scale-proof SF (see functions.scalar).
+
+    The scale-4/6 sums EMIT at 2 dp (TPC-H money convention): the 30x
+    differential sweep caught sum_charge one ulp apart between engines —
+    an exact scale-6 decimal whose scaled integer exceeds 2^53 converts to
+    double with DuckDB's int128->double->/1e6 double-rounding but Java's
+    single correct rounding. Rounding the exact decimal to 2 dp first
+    (Spark decimal cast = HALF_UP; DuckDB needs its round() — its decimal
+    CAST truncates — same half-up result on these positive sums) keeps
+    the scaled integer under 2^53 up to ~9e13 (money magnitudes far past
+    100 TB), so both conversions are exact and bit-equal.
     """
     t = load_tables(spark, sf_dir, names=("lineitem",))
     li = t["lineitem"].filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
@@ -521,8 +533,14 @@ def a3_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum(dec("l_extendedprice", 8, 2), scale=2)
             .cast("double")
             .alias("sum_base_price"),
-            exact_sum(disc_price, scale=4).cast("double").alias("sum_disc_price"),
-            exact_sum(charge, scale=6).cast("double").alias("sum_charge"),
+            exact_sum(disc_price, scale=4)
+            .cast("decimal(20,2)")
+            .cast("double")
+            .alias("sum_disc_price"),
+            exact_sum(charge, scale=6)
+            .cast("decimal(20,2)")
+            .cast("double")
+            .alias("sum_charge"),
             (sum_qty.cast("double") / F.count("*")).alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
