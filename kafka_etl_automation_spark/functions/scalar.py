@@ -27,9 +27,19 @@ def dec(col: Column | str, precision: int = 18, scale: int = 2) -> Column:
 def dsum(col: Column | str, precision: int = 18, scale: int = 2) -> Column:
     """Exact SUM of a double column: decimal-accumulate, emit double.
 
-    The emitted double is bit-identical across engines/partitionings because
-    the decimal value is exact and decimal->double conversion is IEEE
-    round-to-nearest in both Spark and DuckDB.
+    The emitted double is bit-identical across engines/partitionings
+    PROVIDED the scaled integer (value x 10^scale) stays under 2^53: the
+    decimal value is exact, and below that bound both engines' decimal->
+    double conversions are a single exact int->double. Above it, Java
+    still single-rounds (BigDecimal.doubleValue) but DuckDB's int128 ->
+    double -> x10^-scale path double-rounds — the round-5 30x sweep
+    caught a real 1-ulp divergence this way (a3 sum_charge at scale 6).
+    Rule: cap the emitted scale so |sum| x 10^scale < 2^53 with margin —
+    round/cast the exact decimal to a smaller scale (money: 2 dp; ratios:
+    <= 10 dp for sums < 1e4) BEFORE the double cast, identically in both
+    engines (Spark decimal cast = HALF_UP; DuckDB round(), since its
+    decimal CAST truncates). Audit of every decimal-sum->double site is
+    in BENCH_SCALE.md's catch #6 note and the a3/bigram docstrings.
     """
     return F.sum(dec(col, precision, scale)).cast("double")
 

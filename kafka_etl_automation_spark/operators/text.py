@@ -328,7 +328,14 @@ def bigram_coherence(
     Determinism: each ratio is an IEEE-exact int/int division (identical
     in any engine); the per-document mean goes through DECIMAL sums
     (order-independent) and rounds to 6 dp — hash-stable under any
-    partitioning, like every aggregate in this repo.
+    partitioning, like every aggregate in this repo. The exact scale-18
+    sum is rounded to scale 10 BEFORE the double cast (same a3 rule,
+    plans/relational.py): a per-doc sum is bounded by n_bigrams <= ~1e4,
+    so the scale-10 scaled integer stays under 2^53 and both engines'
+    decimal->double conversions are exact — at scale 18 the scaled
+    integer is ~1e21 and DuckDB's int128->double->1e-18 path
+    double-rounds while Java single-rounds, a latent boundary-case flake
+    the final 6 dp round can't fully mask.
 
     Plan shape: one bigram explode -> corpus counts (two keyed,
     map-side-combinable aggregations) -> ratio table joined back on
@@ -364,7 +371,9 @@ def bigram_coherence(
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
             F.round(
-                F.sum(F.col("r").cast("decimal(38,18)")).cast("double")
+                F.sum(F.col("r").cast("decimal(38,18)"))
+                .cast("decimal(38,10)")
+                .cast("double")
                 / F.count(F.lit(1)),
                 6,
             ).alias("coherence"),

@@ -1340,7 +1340,7 @@ ratio AS (SELECT c2.w1, c2.w2, c2.c2 / c1.c1 AS r
           FROM c2 JOIN c1 ON c2.w1 = c1.w1)
 SELECT bg.doc_id,
        COUNT(*) AS n_bigrams,
-       round(CAST(SUM(CAST(ratio.r AS DECIMAL(38,18))) AS DOUBLE)
+       round(CAST(round(SUM(CAST(ratio.r AS DECIMAL(38,18))), 10) AS DOUBLE)
              / COUNT(*), 6) AS coherence
 FROM bg JOIN ratio ON bg.w1 = ratio.w1 AND bg.w2 = ratio.w2
 GROUP BY bg.doc_id

@@ -198,3 +198,36 @@ def test_exact_sum_scale10_equals_plain_decimal_sum(spark, vals, nparts):
     got = df.agg(exact_sum_scale10(F.col("x")).alias("s")).collect()[0].s
     want = df.agg(F.sum("x").alias("s")).collect()[0].s
     assert got == want
+
+
+def test_decimal_to_double_2p53_rule():
+    """Pin the cross-engine conversion mechanism behind the round-5 a3
+    catch: a decimal whose scaled integer exceeds 2^53 double-rounds
+    through DuckDB's int128 -> double -> x10^-scale path (vs Python/Java
+    single correct rounding), and rounding the decimal to a small scale
+    first removes the divergence. Guards the scalar.dsum rule against
+    DuckDB behavior changes; the a3/bigram gate hashes pin the queries
+    themselves.
+    """
+    from decimal import Decimal
+
+    import duckdb
+
+    con = duckdb.connect()
+    # 2^53 + 1 is the first unrepresentable odd integer; at scale 6 the
+    # decimal (2^53+1)/1e6 has scaled int 2^53+1 and an exactly-half ulp
+    # tail, the worst case for the two-step conversion.
+    val = Decimal(2**53 + 1) / Decimal(10**6)
+    (duck,) = con.execute(
+        "SELECT CAST(CAST($v AS DECIMAL(38,6)) AS DOUBLE)", {"v": str(val)}
+    ).fetchone()
+    correct = float(val)  # Python: single correct rounding, like Java
+    # the mechanism: two-step conversion lands one ulp off here
+    assert duck != correct
+    # the fix: reduce scale below the 2^53 bound first -> exact in both
+    (duck_fixed,) = con.execute(
+        "SELECT CAST(round(CAST($v AS DECIMAL(38,6)), 2) AS DOUBLE)",
+        {"v": str(val)},
+    ).fetchone()
+    want = float(val.quantize(Decimal("0.01")))
+    assert duck_fixed == want
