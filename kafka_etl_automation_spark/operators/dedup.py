@@ -230,6 +230,96 @@ def minhash_signatures(
     )
 
 
+def _exact_text_collapse(
+    df: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse exact-duplicate texts to their min-id representative.
+
+    Returns ``(reps, members)``: ``reps`` keeps one original-schema row per
+    distinct text; ``members`` maps ``rep -> member`` for EVERY input id
+    (reps map to themselves). Group identity is (length, xxhash64) of the
+    raw text — same collision class (~N²/2⁶⁴) the shingle hashing already
+    accepts.
+
+    Why this exists: near-dup candidate generation is quadratic in
+    bucket occupancy, and real crawl corpora carry exact-duplicate
+    clusters (boilerplate pages, mirrored docs) whose members share
+    identical signatures — so every LSH family degenerates to
+    |cluster|² candidate pairs that verification then re-proves are
+    identical. The 100x scale-proof measured exactly that
+    (ext_minhash_lsh 6.6s at 30x -> 51s at 100x while data grew 3.3x:
+    dup clusters grew 30 -> 100 members, pairs ~11x). Collapsing first
+    makes candidate generation quadratic only in DISTINCT-text
+    co-occurrence; the member fan-back is linear in output size, which
+    is the floor for pair-emitting semantics.
+
+    Plan shape (skew-safe by construction): the group key reduces to a
+    16-byte (member, len, hash) frame before any shuffle — raw text
+    never rides a text-keyed exchange, so a 10M-member dup cluster is a
+    hot key of 16-byte rows, not of documents; no collect_list arrays
+    anywhere. reps filters via an id-keyed semi-join (uniform keys).
+    """
+    kl, kh = F.length(F.col(text_col)), F.xxhash64(F.col(text_col))
+    keyed = df.select(
+        F.col(id_col).alias("member"), kl.alias("_kl"), kh.alias("_kh")
+    )
+    grp = keyed.groupBy("_kl", "_kh").agg(F.min("member").alias("rep"))
+    members = keyed.join(grp, ["_kl", "_kh"]).select("rep", "member")
+    reps = df.join(
+        grp.select(F.col("rep").alias(id_col)), id_col, "semi"
+    )
+    return reps, members
+
+
+def _expand_member_pairs(
+    rep_pairs: DataFrame,
+    members: DataFrame,
+    surviving_reps: DataFrame,
+    score_col: str,
+    identical_score,
+) -> DataFrame:
+    """Fan verified representative pairs back out to member pairs.
+
+    - cross-group: every (a in A, b in B) inherits the rep pair's score —
+      identical texts have identical signatures, so each member pair
+      co-buckets exactly when its rep pair does;
+    - within-group: all (a < b) member pairs of a multi-member group score
+      ``identical_score`` (Jaccard 1.0 / Hamming 0), emitted only when the
+      group's rep still has a surviving signature/bucket (mirrors the
+      original semantics where signature-less or fully-capped docs emit
+      nothing).
+    Both joins are keyed and output-linear.
+    """
+    ma = members.select(F.col("rep").alias("id_a"), F.col("member").alias("_a"))
+    mb = members.select(F.col("rep").alias("id_b"), F.col("member").alias("_b"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("_a", "_b").alias("id_a"),
+            F.greatest("_a", "_b").alias("id_b"),
+            F.col(score_col),
+        )
+    )
+    p, q = members.alias("p"), members.alias("q")
+    within = (
+        p.join(
+            q,
+            (F.col("p.rep") == F.col("q.rep"))
+            & (F.col("p.member") < F.col("q.member")),
+        )
+        .join(
+            surviving_reps.select(F.col("id").alias("rep")), "rep", "semi"
+        )
+        .select(
+            F.col("p.member").alias("id_a"),
+            F.col("q.member").alias("id_b"),
+            identical_score.alias(score_col),
+        )
+    )
+    return cross.unionByName(within)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -239,11 +329,22 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     max_bucket: int = 1000,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH, verified with exact
     Jaccard over the 64-bit shingle-hash sets so the output has no false
     positives beyond hash-collision odds (~|sh|²/2⁶⁴ per pair — negligible
     and deterministic; recall is the probabilistic part, ~ 1-(1-t^r)^b).
+
+    ``collapse_exact`` (default on — the deployable shape) runs the whole
+    LSH pipeline on DISTINCT texts only and fans verified pairs back out
+    to members (`_exact_text_collapse`): identical texts have identical
+    signatures, so the expansion reproduces the same pairs with the same
+    scores while candidate generation stops being quadratic in
+    exact-dup-cluster size (the 100x scale-proof's super-linear blowup).
+    One intended semantic change: ``max_bucket`` now counts distinct
+    texts per bucket, so duplicate multiplicity alone can no longer evict
+    a bucket — strictly better recall at the cap boundary.
 
     Plan shape (deliberately few exchanges — an earlier version ran
     signatures through an interpreted higher-order-function projection and
@@ -262,6 +363,10 @@ def minhash_lsh_pairs(
     the self-join, distinct, and the two verification joins.
     """
     from pyspark import StorageLevel
+
+    members = None
+    if collapse_exact:
+        df, members = _exact_text_collapse(df, text_col, id_col)
 
     rows = num_hashes // bands
     # One pass builds BOTH the verification hash set and the signature;
@@ -332,7 +437,7 @@ def minhash_lsh_pairs(
     pa = src.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     pb = src.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    return (
+    verified = (
         cand.join(pa, "id_a")
         .join(pb, "id_b")
         .withColumn("n_inter", n_inter)
@@ -343,6 +448,17 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+    if members is None:
+        return verified
+    # jaccard(S, S) = n/n, exactly 1.0 in IEEE — same value the
+    # uncollapsed verify computes for an identical-text pair
+    return _expand_member_pairs(
+        verified,
+        members,
+        banded_ok.select("id").distinct(),
+        "jaccard",
+        F.lit(1.0),
     )
 
 
@@ -451,6 +567,8 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     chunks: int = 4,
+    collapse_exact: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance <= max_hamming.
 
@@ -460,13 +578,30 @@ def simhash_near_pairs(
     Hamming filter runs on candidates only (bit_count(xor)).
 
     Recall guarantee requires max_hamming < chunks (pigeonhole); reject
-    configurations that would silently miss pairs."""
+    configurations that would silently miss pairs.
+
+    ``collapse_exact`` (default on) mirrors minhash_lsh_pairs: identical
+    texts have identical fingerprints, so the chunk self-join runs on
+    distinct texts and verified pairs fan back out to members (within a
+    group the distance is exactly 0). Without it, exact-dup clusters make
+    candidates quadratic in cluster size — the 100x scale-proof measured
+    6.8s -> 46s on 3.3x more data from exactly this.
+
+    ``max_bucket`` (opt-in) drops chunk buckets holding more than that
+    many DISTINCT fingerprints — a 16-bit chunk key space is only 65,536
+    buckets, so at billions of documents every bucket is crowded and the
+    pigeonhole join goes quadratic regardless of duplicate structure; at
+    that scale cap the buckets (trading the recall guarantee for bounded
+    work) or widen the fingerprint/chunks."""
     if max_hamming >= chunks:
         raise ValueError(
             f"simhash_near_pairs requires max_hamming < chunks for full recall "
             f"(got max_hamming={max_hamming}, chunks={chunks}); "
             f"use chunks={max_hamming + 1} or more"
         )
+    members = None
+    if collapse_exact:
+        df, members = _exact_text_collapse(df, text_col, id_col)
     fps = simhash(df, text_col, id_col)
     width = 64 // chunks
     chunk_cols = [
@@ -487,8 +622,19 @@ def simhash_near_pairs(
             )
         ).alias("bb"),
     ).select("id", "simhash", F.col("bb.chunk").alias("chunk"), F.col("bb.ckey").alias("ckey"))
+    if max_bucket is not None:
+        # same count-window shape as minhash_lsh_pairs: the sizing
+        # exchange IS the self-join's partitioning
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("chunk", "ckey")
+        banded = (
+            banded.withColumn("bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("bsz") <= max_bucket)
+            .drop("bsz")
+        )
     x, y = banded.alias("x"), banded.alias("y")
-    return (
+    verified = (
         x.join(
             y,
             (F.col("x.chunk") == F.col("y.chunk"))
@@ -504,6 +650,16 @@ def simhash_near_pairs(
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+    if members is None:
+        return verified
+    # bit_count yields int; keep the expanded column the same type
+    return _expand_member_pairs(
+        verified,
+        members,
+        banded.select("id").distinct(),
+        "hamming",
+        F.lit(0).cast("integer"),
     )
 
 

@@ -836,3 +836,51 @@ def test_word_hits_count_forms_agree(spark):
     ).collect()
     for r in rows:
         assert r.new == r.old, (r.text, r.old, r.new)
+
+
+def test_lsh_exact_collapse_preserves_pairs(spark):
+    """collapse_exact=True (the deployable shape after the 100x
+    scale-proof) must emit the SAME pair set with the SAME scores as the
+    uncollapsed pipeline on a corpus with real exact-dup clusters —
+    identical texts have identical signatures, so collapsing + member
+    fan-out is a pure plan transformation at these bucket sizes."""
+    rows = [
+        # exact-dup cluster of 3
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (7, "the quick brown fox jumps over the lazy dog today"),
+        # near-dup of the cluster
+        (3, "the quick brown fox jumps over the lazy dog tonight"),
+        # exact-dup cluster of 2, unrelated content
+        (4, "completely unrelated text about spark execution engines"),
+        (5, "completely unrelated text about spark execution engines"),
+        # singleton + shingle-less short doc (never emits)
+        (6, "some other document entirely different from the rest"),
+        (8, "a"),
+    ]
+    df = docs_df(spark, rows)
+
+    def key_mh(frame):
+        return {
+            (r.id_a, r.id_b, round(r.jaccard, 12)) for r in frame.collect()
+        }
+
+    kw = dict(n=3, num_hashes=32, bands=16, threshold=0.5)
+    collapsed = key_mh(dedup.minhash_lsh_pairs(df, **kw))
+    plain = key_mh(dedup.minhash_lsh_pairs(df, collapse_exact=False, **kw))
+    assert collapsed == plain
+    # the dup clusters must actually be in there, at jaccard exactly 1.0
+    assert {(1, 2, 1.0), (1, 7, 1.0), (2, 7, 1.0), (4, 5, 1.0)} <= collapsed
+
+    def key_sh(frame):
+        return {(r.id_a, r.id_b, r.hamming) for r in frame.collect()}
+
+    collapsed_s = key_sh(dedup.simhash_near_pairs(df, max_hamming=3, chunks=4))
+    plain_s = key_sh(
+        dedup.simhash_near_pairs(df, max_hamming=3, chunks=4, collapse_exact=False)
+    )
+    assert collapsed_s == plain_s
+    assert {(1, 2, 0), (1, 7, 0), (2, 7, 0), (4, 5, 0)} <= collapsed_s
+    # schema must be unchanged by the expansion union
+    out = dedup.simhash_near_pairs(df, max_hamming=3, chunks=4)
+    assert [f.name for f in out.schema.fields] == ["id_a", "id_b", "hamming"]
