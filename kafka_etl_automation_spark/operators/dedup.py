@@ -259,12 +259,22 @@ def _exact_text_collapse(
     hot key of 16-byte rows, not of documents; no collect_list arrays
     anywhere. reps filters via an id-keyed semi-join (uniform keys).
     """
+    from pyspark import StorageLevel
+
     kl, kh = F.length(F.col(text_col)), F.xxhash64(F.col(text_col))
     keyed = df.select(
         F.col(id_col).alias("member"), kl.alias("_kl"), kh.alias("_kh")
     )
     grp = keyed.groupBy("_kl", "_kh").agg(F.min("member").alias("rep"))
-    members = keyed.join(grp, ["_kl", "_kh"]).select("rep", "member")
+    # members feeds BOTH sides of the cross expansion and both sides of
+    # the within self-join (4 references) — persist or the whole collapse
+    # pipeline (document scan included) re-executes per reference. Two
+    # longs per doc: a sliver at any scale.
+    members = (
+        keyed.join(grp, ["_kl", "_kh"])
+        .select("rep", "member")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     reps = df.join(
         grp.select(F.col("rep").alias(id_col)), id_col, "semi"
     )
