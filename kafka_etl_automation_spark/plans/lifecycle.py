@@ -606,6 +606,52 @@ def stream_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 from contextlib import contextmanager
 
 
+def _await_bounded(q, idle_budget: float = 1800.0) -> None:
+    """Wait for an availableNow streaming query to self-terminate.
+
+    ``q.awaitTermination(n)`` returning False is NOT completion: at the
+    100x scale-proof SF the interval join outran a flat 180s budget and
+    the gate silently read a still-empty memory sink (0 rows where 30x
+    emitted 11,159) — the same absolute-deadline failure class the
+    sessionize poll already fixed. availableNow always terminates on its
+    own, so wait in short poll steps and bound only IDLE time (no newly
+    completed batch) rather than total runtime: scale growth extends the
+    wait, while a stalled query still dies within one idle window and a
+    dead one surfaces its real exception immediately. ``idle_budget``
+    must exceed the longest SINGLE micro-batch (progress lands per
+    batch, so it cannot tick mid-batch): the 100x interval join's one
+    availableNow batch ran past a 300s budget, so the default is a
+    generous 1800s — it exists to catch true hangs/deaths, not to pace
+    healthy processing.
+    """
+    import time
+
+    last, deadline = None, time.time() + idle_budget
+    while not q.awaitTermination(2.0):
+        if q.exception() is not None:
+            raise q.exception()
+        p = q.lastProgress or {}
+        tag = (p.get("batchId"), p.get("timestamp"))
+        if tag != last:
+            last, deadline = tag, time.time() + idle_budget
+        if time.time() > deadline:
+            q.stop()
+            raise RuntimeError(
+                f"streaming query made no batch progress for {idle_budget}s"
+            )
+
+
+def _stream_partitions(n_rows: int) -> int:
+    """State-store partition count for a bounded streaming run, sized by
+    input volume: 8 below 1M rows (store setup/commit overhead dominates
+    at gate SF — 32 stores cost ~4x the wall of 8 at sf0.01), the full 32
+    beyond (the 100x interval join's single availableNow batch ran its 8
+    oversized state partitions past a 300s idle budget; parallelism, not
+    store overhead, dominates there). Same knob a cluster deployment
+    turns, applied by the same rule: track state volume."""
+    return 8 if n_rows <= 1_000_000 else 32
+
+
 @contextmanager
 def _scoped_shuffle_partitions(spark: SparkSession, n: int):
     """Temporarily size shuffle partitions (= streaming state-store
@@ -678,7 +724,7 @@ def stream_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "sess_" + os.path.basename(root).replace("-", "_")
     import time
 
-    with _scoped_shuffle_partitions(spark, 8):
+    with _scoped_shuffle_partitions(spark, _stream_partitions(events.count())):
         stream = spark.readStream.schema(events.schema).parquet(src)
         out = sessions.stream_sessionize(
             stream, gap_minutes=30, timeout_seconds=2
@@ -746,7 +792,7 @@ def stream_windowed_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(root, "src")
     events.coalesce(1).write.parquet(src)
     name = "swin_" + os.path.basename(root).replace("-", "_")
-    with _scoped_shuffle_partitions(spark, 8):
+    with _scoped_shuffle_partitions(spark, _stream_partitions(events.count())):
         stream = spark.readStream.schema(events.schema).parquet(src)
         out = sessions.stream_windowed_counts(
             stream, window_minutes=60, watermark_minutes=120
@@ -759,7 +805,7 @@ def stream_windowed_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        _await_bounded(q)
     return spark.table(name).select(
         "window_start", "window_end", "n_events", "sum_value"
     )
@@ -804,7 +850,7 @@ def stream_interval_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases.coalesce(1).write.parquet(pur_src)
 
     name = "sij_" + os.path.basename(root).replace("-", "_")
-    with _scoped_shuffle_partitions(spark, 8):
+    with _scoped_shuffle_partitions(spark, _stream_partitions(events.count())):
         out = enrich.interval_join(
             spark.readStream.schema(clicks.schema).parquet(clk_src),
             spark.readStream.schema(purchases.schema).parquet(pur_src),
@@ -822,7 +868,7 @@ def stream_interval_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        _await_bounded(q)
     return spark.table(name).select(
         "user_id", "click_id", "click_ts", "purch_ts", "purch_value"
     )
@@ -861,7 +907,7 @@ def stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(src)
 
     name = "sdedup_" + os.path.basename(root).replace("-", "_")
-    with _scoped_shuffle_partitions(spark, 8):
+    with _scoped_shuffle_partitions(spark, _stream_partitions(events.count())):
         stream = (
             spark.readStream.schema(events.schema)
             .option("maxFilesPerTrigger", "1")
@@ -878,7 +924,7 @@ def stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        _await_bounded(q)
         # the redeliveries must have arrived in a LATER micro-batch, or
         # this would only prove in-batch dedup, not state carry-over
         last_batch = (q.lastProgress or {}).get("batchId", 0)
