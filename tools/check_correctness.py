@@ -54,21 +54,58 @@ def dtype_sig(df: pd.DataFrame) -> list[str]:
 
 
 def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
+    """Order-insensitive value hash: per-cell canonical strings, rows
+    joined with '|', sorted, sha256. Vectorized column-wise (the original
+    itertuples formulation cost ~320s on a 30M-row frame at the 300x
+    octave — the checker, not the engines, dominated); cell semantics are
+    unchanged and only need to be IDENTICAL for both engines within one
+    run, since the hash is always computed fresh on both sides:
+    - NULL/NaT/NaN -> '<NULL>'
+    - float64 -> shortest round-trip repr (numpy str == Python repr)
+    - datetime64 -> '%Y-%m-%d %H:%M:%S.%f'
+    - everything else -> str(v)
+    """
+    import numpy as np
+
     cols = sorted(df.columns)
-    df = df[cols].copy()
-
-    def cell(v):
-        if v is None or v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
-            return "<NULL>"
-        if isinstance(v, float):
-            return repr(v)
-        if isinstance(v, pd.Timestamp):
-            return v.strftime("%Y-%m-%d %H:%M:%S.%f")
-        return str(v)
-
-    rows = sorted(tuple(cell(v) for v in row) for row in df.itertuples(index=False))
-    h = hashlib.sha256("\n".join("|".join(r) for r in rows).encode()).hexdigest()[:16]
-    return len(rows), cols, h
+    parts = []
+    for c in cols:
+        s = df[c]
+        kind = getattr(s.dtype, "kind", None)
+        if kind == "M":
+            out = s.dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        elif kind == "f":
+            out = s.astype(str)  # numpy shortest repr == Python repr
+        elif kind == "O":
+            # str() elementwise, preserving the old per-cell behavior for
+            # Decimals/arrays/strings; floats hiding in object columns
+            # keep repr semantics via str() identically
+            out = s.map(lambda v: "<NULL>" if v is None else str(v))
+        else:
+            out = s.astype(str)
+        mask = s.isna()
+        if getattr(mask, "any", lambda: False)():
+            out = out.where(~mask, "<NULL>")
+        parts.append(out.to_numpy(dtype=object))
+    if parts:
+        joined = pd.Series(parts[0], dtype=object)
+        for p in parts[1:]:
+            # Series.str.cat, NOT np.char.add: the latter materializes
+            # fixed-width unicode arrays (rows x max-width bytes — ruinous
+            # when a text column rides along)
+            joined = joined.str.cat(pd.Series(p, dtype=object), sep="|")
+        rows = joined.sort_values(kind="stable").to_numpy()
+    else:
+        rows = np.array([""] * len(df), dtype=object)
+    hasher = hashlib.sha256()
+    step = 1_000_000
+    for i in range(0, len(rows), step):
+        block = "\n".join(rows[i : i + step].tolist())
+        if i:
+            block = "\n" + block
+        hasher.update(block.encode())
+    h = hasher.hexdigest()[:16]
+    return len(df), cols, h
 
 
 def main() -> int:
