@@ -44,6 +44,26 @@ def dsum(col: Column | str, precision: int = 18, scale: int = 2) -> Column:
     return F.sum(dec(col, precision, scale)).cast("double")
 
 
+def _guarded_floor(col: Column, int_digits: int) -> Column:
+    """floor(col) cast to decimal(int_digits,0), raising loudly on any row
+    whose integer part does not fit: with ANSI off, the overflow would cast
+    to NULL and silently corrupt the hi/lo split sums (ADVICE r05). The
+    guard stays inside whole-stage codegen (when + raise_error are both
+    codegen expressions), so the compact-buffer speed the split exists for
+    is unaffected."""
+    bound = 10 ** int_digits
+    return F.when(
+        F.abs(col) < F.lit(bound), F.floor(col).cast(f"decimal({int_digits},0)")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"exact_sum input out of range: |x| >= 1e{int_digits} "
+                f"overflows the compact hi buffer (see functions/scalar.py)"
+            )
+        )
+    )
+
+
 def exact_sum(col: Column, scale: int, int_digits: int = 8) -> Column:
     """Order-independent exact SUM of a decimal column at compact-decimal
     speed: hi/lo split so both sum buffers stay <= 18 digits.
@@ -73,7 +93,7 @@ def exact_sum(col: Column, scale: int, int_digits: int = 8) -> Column:
         raise ValueError(f"exact_sum supports scale 0..7, got {scale}")
     if not 1 <= int_digits <= 8:
         raise ValueError(f"int_digits must be 1..8, got {int_digits}")
-    hi = F.floor(col).cast(f"decimal({int_digits},0)")
+    hi = _guarded_floor(col, int_digits)
     lo = (col - F.floor(col)).cast(f"decimal(8,{scale})")
     return (F.sum(hi).cast(f"decimal(38,{scale})") + F.sum(lo)).cast(
         f"decimal(38,{scale})"
@@ -101,7 +121,7 @@ def exact_sum_scale10(col: Column) -> Column:
     scale digits. For |x| < 1e8 with scale 10 — the element-wise
     centroid-mean shape exact_sum's scale <= 7 limit cannot serve.
     """
-    hi = F.floor(col).cast("decimal(8,0)")
+    hi = _guarded_floor(col, 8)
     # r in [0,1) needs only decimal(11,10); narrowing it is what keeps the
     # *1e5 multiply's ideal type (18,10) under precision 38 — on the wide
     # intermediate type Spark would shave scale digits (precision loss)

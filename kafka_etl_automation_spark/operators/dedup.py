@@ -261,6 +261,17 @@ def _exact_text_collapse(
     """
     from pyspark import StorageLevel
 
+    # Bound cache accumulation across repeated calls in a long-lived
+    # session (ADVICE r05): keep the newest few member maps, evict the
+    # rest FIFO. Evicted frames stay correct (they recompute on next
+    # action); the cap only exists so a session that never calls
+    # release_collapse_caches() holds O(1) cached maps, not O(#calls).
+    while len(_COLLAPSE_CACHES) >= _COLLAPSE_CACHE_CAP:
+        try:
+            _COLLAPSE_CACHES.pop(0).unpersist(False)
+        except Exception:
+            pass
+
     kl, kh = F.length(F.col(text_col)), F.xxhash64(F.col(text_col))
     keyed = df.select(
         F.col(id_col).alias("member"), kl.alias("_kl"), kh.alias("_kh")
@@ -275,10 +286,36 @@ def _exact_text_collapse(
         .select("rep", "member")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _COLLAPSE_CACHES.append(members)
     reps = df.join(
         grp.select(F.col("rep").alias(id_col)), id_col, "semi"
     )
     return reps, members
+
+
+_COLLAPSE_CACHES: list = []
+_COLLAPSE_CACHE_CAP = 4
+
+
+def release_collapse_caches() -> int:
+    """Unpersist every member map cached by `_exact_text_collapse`.
+
+    Call after materializing the result of a collapse-backed query
+    (minhash_lsh_pairs / simhash_near_pairs / dedup pipelines) to return
+    the cached (rep, member) partitions; re-running the result DataFrame
+    afterwards stays correct — it just recomputes the map. Without an
+    explicit call, `_exact_text_collapse` itself evicts FIFO past a small
+    cap, so long-lived sessions stay bounded either way (ADVICE r05).
+    Returns the number of frames released.
+    """
+    n = 0
+    while _COLLAPSE_CACHES:
+        try:
+            _COLLAPSE_CACHES.pop().unpersist(False)
+            n += 1
+        except Exception:
+            pass
+    return n
 
 
 def _expand_member_pairs(

@@ -258,11 +258,13 @@ def _assign_scores(
     import numpy as np
     import pandas as pd
 
+    # Arrow output schema mirrors the caller's id type (ADVICE r05: a
+    # hardcoded `long` broke string doc ids); everything else is fixed.
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, cell long, csim_raw double"
     rows = sorted(cent.collect(), key=lambda r: r[0])
     if not rows:  # empty centroid set (empty corpus): no scores
-        return df.sparkSession.createDataFrame(
-            [], f"{id_col} long, cell long, csim_raw double"
-        )
+        return df.sparkSession.createDataFrame([], out_schema)
     cells_np = np.array([r[0] for r in rows], dtype=np.int64)
     c_mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
     n_cells, dim_ = c_mat.shape
@@ -281,15 +283,27 @@ def _assign_scores(
             for i in range(dim_):
                 v_norm = v_norm + m[:, i] * m[:, i]
             v_norm = np.sqrt(v_norm)
+            # Zero-norm rows/centroids: the in-engine path this replaced
+            # divided by zero -> NULL csim -> the row never won an argmax
+            # (ADVICE r05: numpy NaN would instead sort ABOVE every
+            # double in max_by ordering). Drop those score rows here so
+            # degenerate vectors drop out exactly as before.
+            valid = v_norm != 0.0
             out_id, out_cell, out_sim = [], [], []
             with np.errstate(divide="ignore", invalid="ignore"):
                 for j in range(n_cells):
+                    if c_norm[j] == 0.0:
+                        continue
                     acc = np.zeros(len(m))
                     for i in range(dim_):
                         acc = acc + m[:, i] * c_mat[j, i]
-                    out_id.append(ids)
-                    out_cell.append(np.full(len(m), cells_np[j]))
-                    out_sim.append(acc / (v_norm * c_norm[j]))
+                    out_id.append(ids[valid])
+                    out_cell.append(np.full(int(valid.sum()), cells_np[j]))
+                    out_sim.append(
+                        (acc / (v_norm * c_norm[j]))[valid]
+                    )
+            if not out_id:
+                continue
             yield pd.DataFrame(
                 {
                     id_col: np.concatenate(out_id),
@@ -298,9 +312,7 @@ def _assign_scores(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(
-        assign, f"{id_col} long, cell long, csim_raw double"
-    )
+    return df.select(id_col, vec_col).mapInPandas(assign, out_schema)
 
 
 def _lloyd_step(

@@ -641,6 +641,36 @@ def _await_bounded(q, idle_budget: float = 1800.0) -> None:
             )
 
 
+def _parquet_num_rows(sf_dir: str, table: str) -> int:
+    """Exact row count from parquet FOOTERS (pyarrow) — no Spark job.
+
+    The streaming gates only need this to size `_stream_partitions`;
+    a `df.count()` would run a full extra scan job per gate before the
+    stream even starts, a non-trivial serial cost at the large SFs the
+    helper exists for (ADVICE r05). Footer metadata carries num_rows
+    exactly, and reading it touches a few KB per file. Falls back to a
+    0 estimate (-> the small-state default) if footers are unreadable —
+    sizing is a performance knob, never a correctness input."""
+    import pyarrow.parquet as pq
+
+    from kafka_etl_automation_spark.catalog import table_path
+
+    path = table_path(sf_dir, table)
+    try:
+        if os.path.isdir(path):
+            total = 0
+            for root, _, files in os.walk(path):
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        total += pq.ParquetFile(
+                            os.path.join(root, fn)
+                        ).metadata.num_rows
+            return total
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return 0
+
+
 def _stream_partitions(n_rows: int) -> int:
     """State-store partition count for a bounded streaming run, sized by
     input volume: 8 below 1M rows (store setup/commit overhead dominates
@@ -724,7 +754,7 @@ def stream_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "sess_" + os.path.basename(root).replace("-", "_")
     import time
 
-    with _scoped_shuffle_partitions(spark, _stream_partitions(events.count())):
+    with _scoped_shuffle_partitions(spark, _stream_partitions(_parquet_num_rows(sf_dir, "events"))):
         stream = spark.readStream.schema(events.schema).parquet(src)
         out = sessions.stream_sessionize(
             stream, gap_minutes=30, timeout_seconds=2
@@ -792,7 +822,7 @@ def stream_windowed_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(root, "src")
     events.coalesce(1).write.parquet(src)
     name = "swin_" + os.path.basename(root).replace("-", "_")
-    with _scoped_shuffle_partitions(spark, _stream_partitions(events.count())):
+    with _scoped_shuffle_partitions(spark, _stream_partitions(_parquet_num_rows(sf_dir, "events"))):
         stream = spark.readStream.schema(events.schema).parquet(src)
         out = sessions.stream_windowed_counts(
             stream, window_minutes=60, watermark_minutes=120
@@ -850,7 +880,7 @@ def stream_interval_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases.coalesce(1).write.parquet(pur_src)
 
     name = "sij_" + os.path.basename(root).replace("-", "_")
-    with _scoped_shuffle_partitions(spark, _stream_partitions(events.count())):
+    with _scoped_shuffle_partitions(spark, _stream_partitions(_parquet_num_rows(sf_dir, "events"))):
         out = enrich.interval_join(
             spark.readStream.schema(clicks.schema).parquet(clk_src),
             spark.readStream.schema(purchases.schema).parquet(pur_src),
@@ -907,7 +937,7 @@ def stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(src)
 
     name = "sdedup_" + os.path.basename(root).replace("-", "_")
-    with _scoped_shuffle_partitions(spark, _stream_partitions(events.count())):
+    with _scoped_shuffle_partitions(spark, _stream_partitions(_parquet_num_rows(sf_dir, "events"))):
         stream = (
             spark.readStream.schema(events.schema)
             .option("maxFilesPerTrigger", "1")

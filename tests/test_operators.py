@@ -779,6 +779,66 @@ def test_assign_scores_empty_centroids(spark):
     assert [f.name for f in out.schema.fields] == ["vid", "cell", "csim_raw"]
 
 
+def test_assign_scores_zero_norm_and_string_ids(spark):
+    """ADVICE r05 pair: (a) a zero-norm vector must DROP OUT of scoring
+    (the in-engine path's divide-by-zero yielded NULL csim, never a NaN
+    that would win max_by ordering); a zero-norm centroid likewise emits
+    no score rows. (b) the Arrow output schema must mirror the caller's
+    id type — string doc ids flow through unchanged."""
+    from kafka_etl_automation_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("zero", [0.0, 0.0]), ("b", [0.0, 2.0])],
+        "vid string, e array<double>",
+    )
+    cent = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [0.0, 0.0])], "cell long, ce array<double>"
+    )
+    out = similarity._assign_scores(df, cent, "vid", "e")
+    assert out.schema["vid"].dataType.simpleString() == "string"
+    rows = out.collect()
+    got = {(r.vid, r.cell) for r in rows}
+    # only finite-norm vector x finite-norm centroid combinations remain
+    assert got == {("a", 0), ("b", 0)}
+    assert all(r.csim_raw == r.csim_raw for r in rows)  # no NaN survives
+
+
+def test_exact_sum_out_of_range_raises(spark):
+    """ADVICE r05: an input whose integer part overflows the compact hi
+    buffer must FAIL LOUDLY (raise_error), not NULL-out under non-ANSI
+    overflow and silently corrupt the sum."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kafka_etl_automation_spark.functions import scalar
+
+    df = spark.createDataFrame([(1e8 + 5.0,)], "x double")
+    with pytest.raises(Exception, match="exact_sum input out of range"):
+        df.agg(
+            scalar.exact_sum(F.col("x").cast("decimal(20,2)"), scale=2)
+        ).collect()
+    with pytest.raises(Exception, match="exact_sum input out of range"):
+        df.agg(
+            scalar.exact_sum_scale10(F.col("x").cast("decimal(30,10)"))
+        ).collect()
+
+
+def test_collapse_cache_registry_bounded(spark):
+    """ADVICE r05: repeated collapse-backed calls in one session must not
+    accumulate persisted member maps without bound; release() empties."""
+    from kafka_etl_automation_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, f"text {i % 3}") for i in range(12)], "doc_id long, text string"
+    )
+    for _ in range(dedup._COLLAPSE_CACHE_CAP + 3):
+        reps, members = dedup._exact_text_collapse(df, "text", "doc_id")
+        members.count()
+    assert len(dedup._COLLAPSE_CACHES) <= dedup._COLLAPSE_CACHE_CAP
+    assert dedup.release_collapse_caches() >= 1
+    assert not dedup._COLLAPSE_CACHES
+
+
 def test_token_counts_match_split_pipeline(spark):
     """token_count / bpe_ish_token_count (length-arithmetic / run-count
     formulations) must equal the historical split-array pipeline exactly,
