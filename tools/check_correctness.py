@@ -6,7 +6,16 @@ hash (columns sorted by name, rows sorted by stringified tuple). Strict
 string equality on cell values — stricter than any plausible driver hash,
 so passing here is a good predictor of passing the driver gate.
 
-Usage: python tools/check_correctness.py [--partitions N] [sf_dir] [name ...]
+Usage: python tools/check_correctness.py [--partitions N] [--engine-hash]
+       [sf_dir] [name ...]
+
+--engine-hash switches the value compare to an order-insensitive digest
+computed INSIDE each engine (sum of 60-bit md5 row hashes over a shared
+canonical row string) — comparison cost becomes one aggregate per engine
+with no pandas materialization, which is what makes full-board value
+verification feasible at the 100x/300x scale octaves (VERDICT r05 #1).
+tests/test_differential.py pins the engine-side digest to the Python
+reference `engine_digest_pandas` at sf0.01.
 
 --partitions N sizes spark.sql.shuffle.partitions (default 32, the driver
 gate's value). Because every oracle hash is partition-count-independent, a
@@ -108,6 +117,217 @@ def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
     return len(df), cols, h
 
 
+# ---------------------------------------------------------------------------
+# --engine-hash: order-insensitive digest computed INSIDE each engine
+# (VERDICT r05 #1). The pandas canon() above materializes every row on the
+# driver, which dominates multi-million-row frames at the 100x/300x octaves;
+# here each engine reduces its own result to (count, sum of 60-bit row
+# hashes) so the comparison cost is one aggregate per engine.
+#
+# Canonicalization (must be IDENTICAL across Spark SQL, DuckDB SQL, and the
+# Python reference `engine_digest_pandas` that the sf0.01 pin test compares
+# against):
+#   - columns sorted by name, cells joined with '|', NULL (and float NaN,
+#     mirroring canon()'s isna() handling) -> '<NULL>'
+#   - double/float -> '%.17e' (C-printf correct rounding; DuckDB printf and
+#     Python '%' match bit-for-bit on the probe panel incl. 5e-324/1e300.
+#     Spark's format_string pads Double.toString with zeros instead of
+#     rounding, so the Spark side formats via a vectorized Arrow UDF —
+#     checker tooling, still distributed, never driver-side)
+#   - timestamp -> 'yyyy-MM-dd HH:mm:ss.SSSSSS' (session tz pinned UTC both
+#     engines); date -> ISO; decimal/int/bool/string -> engine CAST AS
+#     STRING (verified identical: 'true', '-0.50', ...)
+#   - row hash = first 15 hex chars of md5(row) as a 60-bit int; digest =
+#     exact SUM (decimal(38,0) in Spark, hugeint in DuckDB) — sum, not xor,
+#     so duplicate-row multiplicity stays visible
+# Unsupported column types (arrays/structs/binary) return None and the
+# caller falls back to the pandas path for that query, with a note.
+# ---------------------------------------------------------------------------
+
+
+def _spark_canon_exprs(df):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf("string")
+    def fmt17e(s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        arr = s.to_numpy(dtype="float64")
+        out = pd.Series(np.char.mod("%.17e", arr), index=s.index, dtype=object)
+        return out.where(~s.isna(), None)
+
+    exprs = []
+    for f in sorted(df.schema.fields, key=lambda f: f.name):
+        t, c = f.dataType, F.col(f.name)
+        if isinstance(t, (T.DoubleType, T.FloatType)):
+            e = fmt17e(c.cast("double"))
+        elif isinstance(t, (T.TimestampType, T.TimestampNTZType)):
+            e = F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        elif isinstance(
+            t,
+            (
+                T.StringType, T.DateType, T.BooleanType, T.DecimalType,
+                T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            ),
+        ):
+            e = c.cast("string")
+        else:
+            return None
+        exprs.append(F.coalesce(e, F.lit("<NULL>")))
+    return exprs
+
+
+def spark_engine_digest(df):
+    """(row_count, digest) computed inside Spark; None if a column type is
+    outside the canonicalization contract."""
+    from pyspark.sql import functions as F
+
+    exprs = _spark_canon_exprs(df)
+    if exprs is None:
+        return None
+    row = F.concat_ws("|", *exprs)
+    h = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("decimal(38,0)")
+    r = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(h), F.lit(0).cast("decimal(38,0)")).alias("d"),
+    ).collect()[0]
+    return int(r.n), int(r.d)
+
+
+def _duck_canon_exprs(con, sql: str):
+    desc = con.execute(f"DESCRIBE SELECT * FROM ({sql}) q").df()
+    pairs = sorted(zip(desc["column_name"], desc["column_type"]))
+    exprs = []
+    for name, typ in pairs:
+        q, t = f'"{name}"', typ.upper()
+        if t in ("DOUBLE", "FLOAT", "REAL"):
+            e = (
+                f"CASE WHEN isnan({q}) THEN NULL "
+                f"ELSE printf('%.17e', CAST({q} AS DOUBLE)) END"
+            )
+        elif t.startswith("TIMESTAMP") or t == "DATE":
+            # duckdb's .df() renders DATE as naive datetime64, so the
+            # pandas gate equates duck DATE with a spark midnight
+            # timestamp; the canonical string mirrors that
+            e = f"strftime({q}, '%Y-%m-%d %H:%M:%S.%f')"
+        elif (
+            t in ("VARCHAR", "BOOLEAN", "TINYINT", "SMALLINT", "INTEGER",
+                  "BIGINT", "HUGEINT", "UTINYINT", "USMALLINT", "UINTEGER",
+                  "UBIGINT")
+            or t.startswith("DECIMAL")
+        ):
+            e = f"CAST({q} AS VARCHAR)"
+        else:
+            return None
+        exprs.append(f"COALESCE({e}, '<NULL>')")
+    return exprs
+
+
+def duck_engine_digest(con, sql: str):
+    exprs = _duck_canon_exprs(con, sql)
+    if exprs is None:
+        return None
+    joined = ", ".join(exprs)
+    r = con.execute(
+        f"SELECT COUNT(*) AS n, "
+        f"COALESCE(SUM(CAST('0x' || substring(md5(rowstr), 1, 15) AS BIGINT)), 0) AS d "
+        f"FROM (SELECT concat_ws('|', {joined}) AS rowstr "
+        f"      FROM (SELECT * FROM ({sql}) q0) q) h"
+    ).fetchone()
+    return int(r[0]), int(r[1])
+
+
+def engine_digest_pandas(df: pd.DataFrame) -> tuple[int, int]:
+    """Python reference of the SAME canonicalization — the sf0.01 pin test
+    asserts both engines' in-engine digests equal this on their own
+    materialized results."""
+    cols = sorted(df.columns)
+    parts = []
+    for c in cols:
+        s = df[c]
+        kind = getattr(s.dtype, "kind", None)
+        if kind == "f":
+            out = s.map(lambda v: None if pd.isna(v) else "%.17e" % v)
+        elif kind == "M":
+            out = s.dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        elif kind == "b":
+            out = s.map(lambda v: "true" if v else "false")
+        else:
+            out = s.map(
+                lambda v: "true" if v is True else
+                "false" if v is False else
+                None if v is None else
+                ("%.17e" % v if isinstance(v, float) and not pd.isna(v) else str(v))
+            )
+        mask = s.isna()
+        if getattr(mask, "any", lambda: False)():
+            out = out.where(~mask, None)
+        parts.append(out.fillna("<NULL>"))
+    total = 0
+    if len(df):
+        joined = parts[0] if parts else pd.Series([""] * len(df))
+        for p in parts[1:]:
+            joined = joined.str.cat(p, sep="|")
+        for row in joined:
+            total += int(hashlib.md5(row.encode()).hexdigest()[:15], 16)
+    return len(df), total
+
+
+def _coarse_type_sig_spark(df) -> list[str]:
+    from pyspark.sql import types as T
+
+    out = []
+    for f in sorted(df.schema.fields, key=lambda f: f.name):
+        t = f.dataType
+        if isinstance(t, (T.DoubleType, T.FloatType)):
+            tag = "float"
+        elif isinstance(t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            tag = "int"
+        elif isinstance(t, T.DecimalType):
+            tag = f"dec({t.precision},{t.scale})"
+        elif isinstance(t, (T.TimestampType, T.TimestampNTZType)):
+            # Spark toPandas renders LTZ timestamps NAIVE in session tz, so
+            # the pandas gate equates spark timestamp with duck TIMESTAMP;
+            # mirror that here (duck TIMESTAMPTZ stays distinct, as its
+            # pandas frame is tz-aware and would fail the pandas gate too)
+            tag = "ts"
+        elif isinstance(t, T.DateType):
+            tag = "date"
+        elif isinstance(t, T.BooleanType):
+            tag = "bool"
+        else:
+            tag = t.simpleString()
+        out.append(f"{f.name}:{tag}")
+    return out
+
+
+def _coarse_type_sig_duck(con, sql: str) -> list[str]:
+    desc = con.execute(f"DESCRIBE SELECT * FROM ({sql}) q").df()
+    out = []
+    for name, typ in sorted(zip(desc["column_name"], desc["column_type"])):
+        t = typ.upper()
+        if t in ("DOUBLE", "FLOAT", "REAL"):
+            tag = "float"
+        elif t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+                   "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+            tag = "int"
+        elif t.startswith("DECIMAL"):
+            tag = "dec" + t[len("DECIMAL"):].replace(" ", "")
+        elif t == "TIMESTAMP WITH TIME ZONE":
+            tag = "tstz"
+        elif t.startswith("TIMESTAMP") or t == "DATE":
+            tag = "ts"  # DATE -> naive datetime64 in .df(); see canon note
+        elif t == "BOOLEAN":
+            tag = "bool"
+        elif t == "VARCHAR":
+            tag = "string"
+        else:
+            tag = t.lower()
+        out.append(f"{name}:{tag}")
+    return out
+
+
 def main() -> int:
     argv = list(sys.argv[1:])
     partitions = "32"
@@ -115,6 +335,9 @@ def main() -> int:
         i = argv.index("--partitions")
         partitions = argv[i + 1]
         del argv[i : i + 2]
+    engine_hash = "--engine-hash" in argv
+    if engine_hash:
+        argv.remove("--engine-hash")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -130,10 +353,12 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", partitions)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
+        .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
     for name in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings".split()
@@ -154,7 +379,29 @@ def main() -> int:
         # ext_sessionize break went unnoticed because an earlier error
         # aborted the whole run (VERDICT r03 #3)
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            sdf_frame = fn(spark, sf_dir)
+            if engine_hash and name in oracles:
+                # in-engine digests: one aggregate per engine, no pandas
+                # materialization (the whole point at 100x/300x)
+                sdig = spark_engine_digest(sdf_frame)
+                if sdig is not None:
+                    ddig = duck_engine_digest(con, oracles[name])
+                if sdig is not None and ddig is not None:
+                    st = _coarse_type_sig_spark(sdf_frame)
+                    dt_ = _coarse_type_sig_duck(con, oracles[name])
+                    spark.catalog.clearCache()
+                    ok = sdig == ddig and st == dt_
+                    status = "OK " if ok else "FAIL"
+                    print(f"  {name:28s} {status} rows={sdig[0]}/{ddig[0]} "
+                          f"edigest={sdig[1] % 10**12}/{ddig[1] % 10**12} "
+                          f"[{time.time()-t0:.1f}s]")
+                    if not ok:
+                        failures.append(name)
+                        if st != dt_:
+                            print(f"    sig spark={st}\n    sig duck ={dt_}")
+                    continue
+                print(f"  {name:28s} (engine-hash unsupported type -> pandas)")
+            sdf = sdf_frame.toPandas()
         except Exception as exc:
             errors.append(name)
             msg = str(exc).splitlines()[0][:200]
@@ -194,7 +441,8 @@ def main() -> int:
     print(f"\n{n_run - len(failures) - len(errors) - len(no_oracle)} ok, "
           f"{len(failures)} failed, {len(errors)} errored, "
           f"{len(no_oracle)} rows-only "
-          f"[shuffle.partitions={partitions}]")
+          f"[shuffle.partitions={partitions}"
+          f"{', engine-hash' if engine_hash else ''}]")
     if failures:
         print("FAILED:", failures)
     if errors:
