@@ -580,6 +580,48 @@ def connected_components(
     return labels.select(F.col("u").alias(id_col), F.col("label").alias("cluster_id"))
 
 
+def canonical_keep_list(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+    pair_source=None,
+) -> DataFrame:
+    """Corpus-scale canonical dedup keep-list: exact collapse -> near-dup
+    pair graph over DISTINCT texts only -> connected components -> ONE row
+    per cluster ``(keep_id, n_members)``.
+
+    This is the deployable 100 TB dedup contract (VERDICT r05 #4): output
+    is documents-LINEAR, unlike the pair-emitting queries whose C(n,2)
+    per-cluster emission is the contract-level quadratic term the scale
+    ladder quarantined. The rep of each exact-dup group is its MIN member,
+    so a component's min rep IS the min member over every doc in the
+    component — ``cluster_id`` doubles as the keep id with no extra join.
+
+    ``pair_source`` (reps -> (id_a, id_b, ...) frame) defaults to exact
+    trigram Jaccard — deterministic, so the gate query carries a full
+    recursive-CTE DuckDB oracle; at corpus scale pass a closure over
+    ``minhash_lsh_pairs(collapse_exact=False)`` to keep candidate
+    generation banded/bounded (recall then follows the LSH probability,
+    which is why that shape is measured, not oracle-checked).
+    """
+    reps, members = _exact_text_collapse(df, text_col, id_col)
+    if pair_source is None:
+        pairs = ngram_jaccard_pairs(reps, text_col, id_col, n, threshold)
+    else:
+        pairs = pair_source(reps)
+    comp = connected_components(
+        pairs, reps.select(F.col(id_col)), id_col=id_col
+    )
+    return (
+        comp.join(members, comp[id_col] == members["rep"])
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .select(F.col("cluster_id").alias("keep_id"), "n_members")
+    )
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:

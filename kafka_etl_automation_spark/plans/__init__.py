@@ -47,6 +47,7 @@ _PRIORITY = [
     "ext_exact_dedup",
     "ext_minhash_lsh",
     "ext_dedup_clusters",
+    "ext_dedup_canonical",
     "ext_boilerplate",
     "ext_sessionize",
     "ext_cosine_topk",

@@ -114,6 +114,27 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CANONICAL_ORACLE = (
+    "WITH comp AS (" + _CLUSTER_ORACLE + ") "
+    "SELECT cluster_id AS keep_id, COUNT(*) AS n_members "
+    "FROM comp GROUP BY 1"
+)
+
+
+@register("ext_dedup_canonical", _CANONICAL_ORACLE)
+def ext_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale dedup HEADLINE (VERDICT r05 #4): documents ->
+    canonical keep-list via collapse-first clustering
+    (operators.dedup.canonical_keep_list) — one (keep_id, n_members) row
+    per near-dup cluster, documents-linear output, vs the C(n,2) pair
+    contract of ext_minhash_lsh. Oracle: the recursive-CTE reachability of
+    ext_dedup_clusters grouped per component — identical-text members share
+    shingle sets, so the collapsed rep graph has exactly the full graph's
+    components."""
+    t = load_tables(spark, sf_dir, names=("documents",))
+    return dedup.canonical_keep_list(t["documents"], n=3, threshold=0.2)
+
+
 @register("ext_minhash_lsh")  # probabilistic recall -> rows-only check
 def ext_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, exact-Jaccard verified

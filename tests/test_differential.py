@@ -21,6 +21,7 @@ FAST_SUBSET = [
     "q1_count_check",
     "q3_dup_check",
     "ext_exact_dedup",
+    "ext_dedup_canonical",
     "ext_text_stats",
     "ext_cosine_topk",
     "mm_frame_sample",
