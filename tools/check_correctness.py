@@ -347,15 +347,30 @@ def main() -> int:
     # Deliberately a VANILLA session (not get_spark): the driver gate builds
     # its own SparkSession, so queries must be correct without any factory
     # confs — round 1 failed exactly this way (VERDICT.md item 1).
-    spark = (
-        SparkSession.builder.master("local[32]")
+    # CHECK_CPUS / CHECK_DRIVER_MEM / CHECK_EVENTLOG deliberately shrink the
+    # session (and capture task metrics) for the memory-pressure/spill
+    # sweep (VERDICT r05 #5); defaults match the driver gate.
+    import os as _os
+
+    builder = (
+        SparkSession.builder.master(
+            f"local[{_os.environ.get('CHECK_CPUS', '32')}]"
+        )
         .appName("check-correctness")
         .config("spark.sql.shuffle.partitions", partitions)
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "16g")
+        .config(
+            "spark.driver.memory", _os.environ.get("CHECK_DRIVER_MEM", "16g")
+        )
         .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
     )
+    evlog = _os.environ.get("CHECK_EVENTLOG")
+    if evlog:
+        _os.makedirs(evlog, exist_ok=True)
+        builder = builder.config("spark.eventLog.enabled", "true").config(
+            "spark.eventLog.dir", evlog
+        )
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
