@@ -51,6 +51,10 @@ BENCH_QUERIES = [
     "ext_exact_dedup",
     "ext_boilerplate",
     "ext_minhash_lsh",
+    # the deployable documents-linear dedup pipeline (collapse -> LSH ->
+    # CC -> keep-list); its exact twin ext_dedup_canonical stays gate-only
+    # with the other quadratic-verifier family members
+    "ext_dedup_canonical_lsh",
     "ext_simhash_pairs",
     "ext_text_stats",
     "ext_quality_score",

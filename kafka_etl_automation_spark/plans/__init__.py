@@ -48,6 +48,7 @@ _PRIORITY = [
     "ext_minhash_lsh",
     "ext_dedup_clusters",
     "ext_dedup_canonical",
+    "ext_dedup_canonical_lsh",
     "ext_boilerplate",
     "ext_sessionize",
     "ext_cosine_topk",

@@ -135,6 +135,25 @@ def ext_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.canonical_keep_list(t["documents"], n=3, threshold=0.2)
 
 
+@register("ext_dedup_canonical_lsh")  # LSH recall -> rows-only check
+def ext_dedup_canonical_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEPLOYABLE corpus-scale dedup pipeline end-to-end: collapse ->
+    banded MinHash LSH candidates (exact-verified, threshold 0.5) ->
+    connected components -> keep-list. Candidate generation is bounded by
+    the band buckets and output is documents-linear, so this — not the
+    pair-emitting ext_minhash_lsh — is the query a 100 TB corpus dedup
+    actually ships; recall follows the LSH probability, hence rows-only
+    (the exact twin ext_dedup_canonical carries the oracle at gate SF)."""
+    t = load_tables(spark, sf_dir, names=("documents",))
+    return dedup.canonical_keep_list(
+        t["documents"],
+        pair_source=lambda reps: dedup.minhash_lsh_pairs(
+            reps, n=3, num_hashes=64, bands=16, threshold=0.5,
+            collapse_exact=False,
+        ),
+    )
+
+
 @register("ext_minhash_lsh")  # probabilistic recall -> rows-only check
 def ext_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, exact-Jaccard verified

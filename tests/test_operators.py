@@ -839,6 +839,42 @@ def test_collapse_cache_registry_bounded(spark):
     assert not dedup._COLLAPSE_CACHES
 
 
+def test_canonical_keep_list_invariants(spark):
+    """Structural invariants of the keep-list contract, for BOTH pair
+    sources: member counts partition the corpus exactly (sum == n docs),
+    keep ids are distinct docs, and every exact-duplicate group ends up in
+    one cluster whose keep id is its min member. The LSH-backed variant
+    may split near-dup clusters the exact source merges (recall < 1 /
+    higher threshold) but can never merge clusters the exact one splits
+    at the same threshold, so n_clusters_lsh >= n_clusters_exact."""
+    from kafka_etl_automation_spark.operators import dedup
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (5, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
+        (2, "alpha beta gamma delta epsilon eta"),    # near-dup of 1
+        (3, "completely different text about spark engines"),
+        (4, "yet another unrelated document body here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    exact = dedup.canonical_keep_list(df, n=3, threshold=0.2)
+    rows = {r.keep_id: r.n_members for r in exact.collect()}
+    assert sum(rows.values()) == len(docs)
+    assert 1 in rows and rows[1] >= 2  # 1+5 collapse; 2 likely joins
+    assert 5 not in rows  # dup member never a keep id
+    lsh = dedup.canonical_keep_list(
+        df,
+        pair_source=lambda reps: dedup.minhash_lsh_pairs(
+            reps, n=3, num_hashes=64, bands=16, threshold=0.2,
+            collapse_exact=False,
+        ),
+    )
+    lrows = {r.keep_id: r.n_members for r in lsh.collect()}
+    assert sum(lrows.values()) == len(docs)
+    assert len(lrows) >= len(rows)
+    assert 5 not in lrows
+
+
 def test_token_counts_match_split_pipeline(spark):
     """token_count / bpe_ish_token_count (length-arithmetic / run-count
     formulations) must equal the historical split-array pipeline exactly,
