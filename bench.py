@@ -55,6 +55,10 @@ BENCH_QUERIES = [
     # CC -> keep-list); its exact twin ext_dedup_canonical stays gate-only
     # with the other quadratic-verifier family members
     "ext_dedup_canonical_lsh",
+    # the deployable decontamination (LSH pair source); the exact
+    # shingle-self-join twin ext_decontamination is gate-only (it spilled
+    # a 100x engine-hash sweep to ENOSPC — quadratic in shingle doc-freq)
+    "ext_decontamination_lsh",
     "ext_simhash_pairs",
     "ext_text_stats",
     "ext_quality_score",

@@ -63,6 +63,7 @@ _PRIORITY = [
     "ext_repetition",
     "ext_source_mix",
     "ext_decontamination",
+    "ext_decontamination_lsh",
     "ext_source_cap",
     "ext_cdc_apply",
     "ext_incremental_rollup",

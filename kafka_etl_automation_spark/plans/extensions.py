@@ -1530,6 +1530,28 @@ def ext_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.cross_split_contamination(docs, pairs)
 
 
+@register("ext_decontamination_lsh")  # LSH recall -> rows-only check
+def ext_decontamination_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEPLOYABLE decontamination shape: pair source is banded MinHash
+    LSH (bounded candidate generation) instead of the exact shingle
+    self-join of ext_decontamination, which is quadratic in shingle
+    document-frequency and exists as the gate-SF verifier only. Banding is
+    tuned for the 0.2 threshold (64 hashes / 32 bands -> r=2; band-match
+    probability ~0.73 at j=0.2 vs ~0.03 for the r=4 dedup banding).
+    Candidates are exact-verified inside minhash_lsh_pairs, so precision
+    is exact and output is a subset of the oracle-checked twin — pinned by
+    tests/test_operators.py::test_decontamination_lsh_subset_of_exact;
+    recall follows the LSH probability, hence rows-only."""
+    from kafka_etl_automation_spark.operators import curation
+
+    t = load_tables(spark, sf_dir, names=("documents",))
+    docs = t["documents"]
+    pairs = dedup.minhash_lsh_pairs(
+        docs, n=3, num_hashes=64, bands=32, threshold=0.2
+    )
+    return curation.cross_split_contamination(docs, pairs)
+
+
 # C4-style cross-document duplicate-span (boilerplate) removal: chop each
 # doc into non-overlapping 5-word spans, spans present in >= 2 distinct
 # docs are boilerplate, rebuild clean text from surviving spans in order.

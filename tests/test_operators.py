@@ -496,6 +496,31 @@ def test_lsh_multiprobe_recall_floor_on_gate_data(spark):
     assert recalls[-1] >= 0.9, recalls
 
 
+def test_decontamination_lsh_subset_of_exact(spark):
+    """The deployable LSH decontamination (ext_decontamination_lsh) must be
+    a strict SUBSET of the exact-verifier twin on the gate corpus: every
+    reported eval doc is truly contaminated (precision exact — candidates
+    are Jaccard-verified inside minhash_lsh_pairs), per-doc match counts
+    and max_jaccard never exceed the exact report, and recall clears a
+    floor at the r=2 banding tuned for the 0.2 threshold."""
+    from kafka_etl_automation_spark.plans import extensions as ext
+
+    exact = {
+        r.eval_doc_id: r
+        for r in ext.ext_decontamination(spark, SF_SMALL).collect()
+    }
+    lsh = {
+        r.eval_doc_id: r
+        for r in ext.ext_decontamination_lsh(spark, SF_SMALL).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for doc_id, row in lsh.items():
+        assert row.n_train_matches <= exact[doc_id].n_train_matches
+        assert row.max_jaccard <= exact[doc_id].max_jaccard + 1e-12
+    if exact:  # band-match prob ~0.73 at j=0.2, higher above -> generous floor
+        assert len(lsh) / len(exact) >= 0.5, (len(lsh), len(exact))
+
+
 def test_curation_pipeline_semantics(spark):
     """curate(): quality/lang/token filters drop bad docs, duplicate
     content keeps only the canonical (min id) copy, split is content-keyed

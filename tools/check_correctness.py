@@ -399,9 +399,11 @@ def main() -> int:
                 # in-engine digests: one aggregate per engine, no pandas
                 # materialization (the whole point at 100x/300x)
                 sdig = spark_engine_digest(sdf_frame)
+                t_spark = time.time() - t0
                 if sdig is not None:
                     ddig = duck_engine_digest(con, oracles[name])
                 if sdig is not None and ddig is not None:
+                    t_duck = time.time() - t0 - t_spark
                     st = _coarse_type_sig_spark(sdf_frame)
                     dt_ = _coarse_type_sig_duck(con, oracles[name])
                     spark.catalog.clearCache()
@@ -409,7 +411,8 @@ def main() -> int:
                     status = "OK " if ok else "FAIL"
                     print(f"  {name:28s} {status} rows={sdig[0]}/{ddig[0]} "
                           f"edigest={sdig[1] % 10**12}/{ddig[1] % 10**12} "
-                          f"[{time.time()-t0:.1f}s]")
+                          f"[{time.time()-t0:.1f}s spark={t_spark:.1f} "
+                          f"duck={t_duck:.1f}]")
                     if not ok:
                         failures.append(name)
                         if st != dt_:
