@@ -377,11 +377,39 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_bucket: int = 1000,
     collapse_exact: bool = True,
+    stats: dict | None = None,
+    candidate_scope: str = "all",
+    bipartite=None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH, verified with exact
     Jaccard over the 64-bit shingle-hash sets so the output has no false
     positives beyond hash-collision odds (~|sh|²/2⁶⁴ per pair — negligible
     and deterministic; recall is the probabilistic part, ~ 1-(1-t^r)^b).
+
+    ``candidate_scope``:
+      - ``"all"`` (default): every in-bucket pair is a candidate — C(n,2)
+        per bucket. The PAIR-REPORT contract: use when the pairs
+        themselves are the output (ext_minhash_lsh).
+      - ``"star"``: only (bucket-min, member) edges — n-1 per bucket, NO
+        self-join at all (the min rides the same window the size filter
+        uses). The CLUSTERING contract: connected components over star
+        edges equal those over all edges whenever each bucket's members
+        are similar to its min (dup families are star/clique-shaped);
+        a chain a~b~c whose ends meet only through b in a single bucket
+        can split, so star trades a little recall for candidate counts
+        LINEAR in corpus size. The r06 probe measured the all-pairs
+        rep graph at 1.76M -> 20.0M verified pairs for 3.3x docs
+        (quadratic in near-dup family size) with CC iterations constant;
+        star is what makes ext_dedup_canonical_lsh documents-linear.
+        Precision is unchanged — star candidates are exact-verified too.
+
+    ``bipartite``: optional Column over ``df``'s columns (e.g.
+    ``text.hash_split("text")``). Only candidates whose two sides DIFFER
+    on this label are emitted. For cross-split decontamination the
+    downstream filter discards same-split pairs anyway, so this is
+    output-identical and removes the within-split (train-train) share —
+    the quadratic bulk — from the self-join. Mutually exclusive with
+    ``candidate_scope="star"``.
 
     ``collapse_exact`` (default on — the deployable shape) runs the whole
     LSH pipeline on DISTINCT texts only and fans verified pairs back out
@@ -478,6 +506,23 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
+    if stats is not None:
+        # Probe-only instrumentation (tools/dedup_probe.py): attribute the
+        # candidate stage's cost. join_work = sum C(bucket,2) is the exact
+        # number of pair comparisons the bucket self-join performs.
+        bw = (
+            banded_ok.groupBy("band", "bkey")
+            .count()
+            .agg(
+                F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("w"),
+                F.max("count").alias("m"),
+            )
+            .collect()[0]
+        )
+        stats["bucket_join_work"] = int(bw["w"] or 0)
+        stats["max_bucket_size"] = int(bw["m"] or 0)
+        stats["candidates_distinct"] = cand.count()
+
     # Exact verification on candidates only: each pair re-joins the two
     # hash SETS and intersects them worker-side — no inverted index, no
     # per-shingle rows.
@@ -516,6 +561,7 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Cluster near-duplicate pairs into components: every doc gets the
     minimum reachable doc id as its cluster id (keep ``doc_id ==
@@ -541,7 +587,9 @@ def connected_components(
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
     converged = False
+    iters = 0
     for _ in range(max_iter):
+        iters += 1
         neighbor_min = (
             edges.join(labels, edges.v == labels.u)
             .groupBy(edges.u.alias("nu"))
@@ -570,6 +618,8 @@ def connected_components(
             converged = True
             break
     edges.unpersist()
+    if stats is not None:
+        stats["iterations"] = iters
     if not converged:
         # silent non-convergence would split one real component into
         # several clusters and keep duplicates — fail loudly instead
@@ -587,6 +637,7 @@ def canonical_keep_list(
     n: int = 3,
     threshold: float = 0.2,
     pair_source=None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Corpus-scale canonical dedup keep-list: exact collapse -> near-dup
     pair graph over DISTINCT texts only -> connected components -> ONE row
@@ -612,7 +663,7 @@ def canonical_keep_list(
     else:
         pairs = pair_source(reps)
     comp = connected_components(
-        pairs, reps.select(F.col(id_col)), id_col=id_col
+        pairs, reps.select(F.col(id_col)), id_col=id_col, stats=stats
     )
     return (
         comp.join(members, comp[id_col] == members["rep"])
