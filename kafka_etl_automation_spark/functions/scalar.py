@@ -50,15 +50,29 @@ def _guarded_floor(col: Column, int_digits: int) -> Column:
     to NULL and silently corrupt the hi/lo split sums (ADVICE r05). The
     guard stays inside whole-stage codegen (when + raise_error are both
     codegen expressions), so the compact-buffer speed the split exists for
-    is unaffected."""
+    is unaffected.
+
+    The bound must hold for the FLOORED value, not |col| (ADVICE r06):
+    floor(x) fits decimal(d,0) iff -(10^d - 1) <= floor(x) <= 10^d - 1,
+    i.e. x >= -(10^d - 1) and x < 10^d — the old abs(x) < 10^d guard let
+    fractional x in (-10^d, -(10^d - 1)) through, where floor(x) = -10^d
+    overflows to NULL. NULL inputs pass through as NULL (decimal-typed so
+    both when-branches agree) and are skipped by SUM, matching plain
+    SUM's NULL semantics instead of aborting (ADVICE r06)."""
     bound = 10 ** int_digits
-    return F.when(
-        F.abs(col) < F.lit(bound), F.floor(col).cast(f"decimal({int_digits},0)")
-    ).otherwise(
-        F.raise_error(
-            F.lit(
-                f"exact_sum input out of range: |x| >= 1e{int_digits} "
-                f"overflows the compact hi buffer (see functions/scalar.py)"
+    return (
+        F.when(col.isNull(), F.lit(None).cast(f"decimal({int_digits},0)"))
+        .when(
+            (col >= F.lit(-(bound - 1))) & (col < F.lit(bound)),
+            F.floor(col).cast(f"decimal({int_digits},0)"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    f"exact_sum input out of range: floor(x) outside "
+                    f"+-(1e{int_digits}-1) overflows the compact hi buffer "
+                    f"(see functions/scalar.py)"
+                )
             )
         )
     )

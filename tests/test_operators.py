@@ -848,6 +848,62 @@ def test_exact_sum_out_of_range_raises(spark):
         ).collect()
 
 
+def test_exact_sum_negative_boundary_and_nulls(spark):
+    """ADVICE r06 pair of _guarded_floor regressions:
+    (1) fractional x in (-10^d, -(10^d - 1)) — e.g. -99999999.5 with d=8 —
+        passed the old abs(x) < 10^d guard while floor(x) = -10^d
+        overflowed decimal(d,0) to NULL, silently corrupting the sum;
+        the guard must now bound the FLOORED value, keeping the sum exact;
+    (2) NULL inputs must be SKIPPED like plain SUM, not routed into
+        raise_error by a NULL when-condition."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from kafka_etl_automation_spark.functions import scalar
+
+    # (1) fractional x whose FLOOR overflows must raise, not NULL-corrupt:
+    # floor(-99999999.5) = -1e8, one past decimal(8,0)'s -(1e8-1) floor —
+    # the old abs(x) < 1e8 guard waved it through
+    bad = spark.createDataFrame([("-99999999.5",)], "x string").select(
+        F.col("x").cast("decimal(20,2)").alias("x")
+    )
+    with pytest.raises(Exception, match="exact_sum input out of range"):
+        bad.agg(scalar.exact_sum(F.col("x"), scale=2)).collect()
+    with pytest.raises(Exception, match="exact_sum input out of range"):
+        bad.select(F.col("x").cast("decimal(30,10)").alias("x")).agg(
+            scalar.exact_sum_scale10(F.col("x"))
+        ).collect()
+    # one step inside the boundary stays exact (floor = -(1e8-1), fits)
+    df = spark.createDataFrame(
+        [("-99999998.5",), ("2.25",)], "x string"
+    ).select(F.col("x").cast("decimal(20,2)").alias("x"))
+    got = df.agg(scalar.exact_sum(F.col("x"), scale=2).alias("s")).collect()[0].s
+    assert got == Decimal("-99999996.25"), got
+    got10 = (
+        df.select(F.col("x").cast("decimal(30,10)").alias("x"))
+        .agg(scalar.exact_sum_scale10(F.col("x")).alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert got10 == Decimal("-99999996.2500000000"), got10
+    # (2) NULLs skip, matching SUM semantics
+    dfn = spark.createDataFrame(
+        [("1.50",), (None,), ("2.25",)], "x string"
+    ).select(F.col("x").cast("decimal(20,2)").alias("x"))
+    got = dfn.agg(scalar.exact_sum(F.col("x"), scale=2).alias("s")).collect()[0].s
+    assert got == Decimal("3.75"), got
+    allnull = spark.createDataFrame([(None,), (None,)], "x string").select(
+        F.col("x").cast("decimal(20,2)").alias("x")
+    )
+    assert (
+        allnull.agg(scalar.exact_sum(F.col("x"), scale=2).alias("s"))
+        .collect()[0]
+        .s
+        is None
+    )
+
+
 def test_collapse_cache_registry_bounded(spark):
     """ADVICE r05: repeated collapse-backed calls in one session must not
     accumulate persisted member maps without bound; release() empties."""
