@@ -324,6 +324,7 @@ def _expand_member_pairs(
     surviving_reps: DataFrame,
     score_col: str,
     identical_score,
+    include_within: bool = True,
 ) -> DataFrame:
     """Fan verified representative pairs back out to member pairs.
 
@@ -334,7 +335,9 @@ def _expand_member_pairs(
       ``identical_score`` (Jaccard 1.0 / Hamming 0), emitted only when the
       group's rep still has a surviving signature/bucket (mirrors the
       original semantics where signature-less or fully-capped docs emit
-      nothing).
+      nothing). ``include_within=False`` drops this leg — the bipartite
+      contract, where same-text members share a content-keyed label and
+      identity pairs are same-label by construction.
     Both joins are keyed and output-linear.
     """
     ma = members.select(F.col("rep").alias("id_a"), F.col("member").alias("_a"))
@@ -364,7 +367,7 @@ def _expand_member_pairs(
             identical_score.alias(score_col),
         )
     )
-    return cross.unionByName(within)
+    return cross.unionByName(within) if include_within else cross
 
 
 def minhash_lsh_pairs(
@@ -409,7 +412,10 @@ def minhash_lsh_pairs(
     downstream filter discards same-split pairs anyway, so this is
     output-identical and removes the within-split (train-train) share —
     the quadratic bulk — from the self-join. Mutually exclusive with
-    ``candidate_scope="star"``.
+    ``candidate_scope="star"``. With ``collapse_exact`` the label must be
+    CONTENT-determined (a function of ``text_col``, like ``hash_split``):
+    the label is evaluated once per distinct-text rep and inherited by
+    every member, which is exact iff identical texts share a label.
 
     ``collapse_exact`` (default on — the deployable shape) runs the whole
     LSH pipeline on DISTINCT texts only and fans verified pairs back out
@@ -439,9 +445,29 @@ def minhash_lsh_pairs(
     """
     from pyspark import StorageLevel
 
+    if candidate_scope not in ("all", "star"):
+        raise ValueError(
+            f"candidate_scope must be 'all' or 'star', got {candidate_scope!r}"
+        )
+    if candidate_scope == "star" and bipartite is not None:
+        raise ValueError(
+            "candidate_scope='star' and bipartite are mutually exclusive: "
+            "star edges all touch the bucket min regardless of label"
+        )
+
     members = None
     if collapse_exact:
         df, members = _exact_text_collapse(df, text_col, id_col)
+    # (id, label) projection for bipartite filtering. Taken AFTER collapse,
+    # which is sound only for content-determined labels (e.g.
+    # text.hash_split): identical texts share a label, so the rep's label
+    # is every member's label. One row per doc, joined onto the one-row-
+    # per-doc src frame pre-explode so the banded rows carry it for free.
+    lbl = (
+        df.select(F.col(id_col).alias("id"), bipartite.alias("_lbl"))
+        if bipartite is not None
+        else None
+    )
 
     rows = num_hashes // bands
     # One pass builds BOTH the verification hash set and the signature;
@@ -471,9 +497,16 @@ def minhash_lsh_pairs(
         )
         for bid in range(bands)
     ]
+    band_src = src if lbl is None else src.join(lbl, "id")
+    band_cols = [] if lbl is None else ["_lbl"]
     banded = (
-        src.select("id", F.explode(F.array(*band_structs)).alias("bb"))
-        .select("id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+        band_src.select("id", *band_cols, F.explode(F.array(*band_structs)).alias("bb"))
+        .select(
+            "id",
+            *band_cols,
+            F.col("bb.band").alias("band"),
+            F.col("bb.bkey").alias("bkey"),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
@@ -488,33 +521,61 @@ def minhash_lsh_pairs(
     from pyspark.sql import Window
 
     wb = Window.partitionBy("band", "bkey")
-    banded_ok = (
-        banded.withColumn("bsz", F.count(F.lit(1)).over(wb))
-        .filter(F.col("bsz") <= max_bucket)
-        .select("id", "band", "bkey")
-    )
-
-    x, y = banded_ok.alias("x"), banded_ok.alias("y")
-    cand = (
-        x.join(
-            y,
+    if candidate_scope == "star":
+        # Star edges: (bucket-min, member), n-1 per bucket, candidate
+        # volume LINEAR in banded rows. The min rides the SAME window
+        # exchange the size filter already pays — no self-join stage at
+        # all. bmin < id always holds, so (id_a, id_b) ordering is free.
+        sized = (
+            banded.withColumn("bsz", F.count(F.lit(1)).over(wb))
+            .withColumn("bmin", F.min("id").over(wb))
+            .filter(F.col("bsz") <= max_bucket)
+        )
+        banded_ok = sized.select("id", "band", "bkey")
+        cand = (
+            sized.filter(F.col("id") != F.col("bmin"))
+            .select(F.col("bmin").alias("id_a"), F.col("id").alias("id_b"))
+            .distinct()
+        )
+    else:
+        banded_ok = (
+            banded.withColumn("bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("bsz") <= max_bucket)
+            .select("id", *band_cols, "band", "bkey")
+        )
+        x, y = banded_ok.alias("x"), banded_ok.alias("y")
+        join_cond = (
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.bkey") == F.col("y.bkey"))
-            & (F.col("x.id") < F.col("y.id")),
+            & (F.col("x.id") < F.col("y.id"))
         )
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
-    )
+        if lbl is not None:
+            # Cross-label-only contract: same-label pairs never leave the
+            # join, removing the within-label (e.g. train-train) share —
+            # the quadratic bulk — before distinct.
+            join_cond = join_cond & (F.col("x._lbl") != F.col("y._lbl"))
+        cand = (
+            x.join(y, join_cond)
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .distinct()
+        )
+        banded_ok = banded_ok.select("id", "band", "bkey")
 
     if stats is not None:
         # Probe-only instrumentation (tools/dedup_probe.py): attribute the
-        # candidate stage's cost. join_work = sum C(bucket,2) is the exact
-        # number of pair comparisons the bucket self-join performs.
+        # candidate stage's cost. join_work = the exact number of candidate
+        # emissions: sum C(bucket,2) for the all-pairs self-join, sum
+        # (bucket-1) for star's window-min edges.
+        work = (
+            (F.col("count") - 1)
+            if candidate_scope == "star"
+            else F.col("count") * (F.col("count") - 1) / 2
+        )
         bw = (
             banded_ok.groupBy("band", "bkey")
             .count()
             .agg(
-                F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("w"),
+                F.sum(work).alias("w"),
                 F.max("count").alias("m"),
             )
             .collect()[0]
@@ -551,6 +612,7 @@ def minhash_lsh_pairs(
         banded_ok.select("id").distinct(),
         "jaccard",
         F.lit(1.0),
+        include_within=bipartite is None,
     )
 
 

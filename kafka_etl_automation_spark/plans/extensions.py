@@ -114,8 +114,24 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The canonical keep-list merges exact-duplicate TEXTS unconditionally
+# (_exact_text_collapse runs before any shingling), while the shingle pair
+# graph alone cannot connect duplicate texts shorter than n tokens (empty
+# shingle sets). Add an explicit exact-text equality edge to the oracle's
+# graph so both engines agree on that corner (ADVICE r06) — for >= n-token
+# duplicates the edge is redundant (identical texts share shingle sets).
+_E_CTE = """e AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),"""
+_E_CTE_TEXT_EDGES = """e AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+            UNION SELECT a.doc_id, b.doc_id FROM documents a
+                  JOIN documents b
+                  ON a.text = b.text AND a.doc_id <> b.doc_id),"""
+assert _CLUSTER_ORACLE.count(_E_CTE) == 1
 _CANONICAL_ORACLE = (
-    "WITH comp AS (" + _CLUSTER_ORACLE + ") "
+    "WITH comp AS ("
+    + _CLUSTER_ORACLE.replace(_E_CTE, _E_CTE_TEXT_EDGES)
+    + ") "
     "SELECT cluster_id AS keep_id, COUNT(*) AS n_members "
     "FROM comp GROUP BY 1"
 )
@@ -128,9 +144,9 @@ def ext_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators.dedup.canonical_keep_list) — one (keep_id, n_members) row
     per near-dup cluster, documents-linear output, vs the C(n,2) pair
     contract of ext_minhash_lsh. Oracle: the recursive-CTE reachability of
-    ext_dedup_clusters grouped per component — identical-text members share
-    shingle sets, so the collapsed rep graph has exactly the full graph's
-    components."""
+    ext_dedup_clusters — plus an exact-text equality edge, because the
+    engine's collapse merges duplicate texts even when they are too short
+    (< n tokens) to carry shingles — grouped per component."""
     t = load_tables(spark, sf_dir, names=("documents",))
     return dedup.canonical_keep_list(t["documents"], n=3, threshold=0.2)
 
@@ -139,17 +155,22 @@ def ext_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_dedup_canonical_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DEPLOYABLE corpus-scale dedup pipeline end-to-end: collapse ->
     banded MinHash LSH candidates (exact-verified, threshold 0.5) ->
-    connected components -> keep-list. Candidate generation is bounded by
-    the band buckets and output is documents-linear, so this — not the
-    pair-emitting ext_minhash_lsh — is the query a 100 TB corpus dedup
-    actually ships; recall follows the LSH probability, hence rows-only
-    (the exact twin ext_dedup_canonical carries the oracle at gate SF)."""
+    connected components -> keep-list. candidate_scope='star' keeps
+    candidate generation LINEAR in banded rows ((bucket-min, member)
+    edges off the size-filter window — no bucket self-join stage at all);
+    star edges preserve components whenever dup families are star/clique-
+    shaped, which with exact-collapse upstream they are, so with output
+    documents-linear too this — not the pair-emitting ext_minhash_lsh —
+    is the query a 100 TB corpus dedup actually ships; recall follows the
+    LSH probability, hence rows-only (the exact twin ext_dedup_canonical
+    carries the oracle at gate SF; the recall floor vs that twin is
+    pinned by tests/test_operators.py::test_lsh_recall_floors)."""
     t = load_tables(spark, sf_dir, names=("documents",))
     return dedup.canonical_keep_list(
         t["documents"],
         pair_source=lambda reps: dedup.minhash_lsh_pairs(
             reps, n=3, num_hashes=64, bands=16, threshold=0.5,
-            collapse_exact=False,
+            collapse_exact=False, candidate_scope="star",
         ),
     )
 
@@ -1541,13 +1562,18 @@ def ext_decontamination_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidates are exact-verified inside minhash_lsh_pairs, so precision
     is exact and output is a subset of the oracle-checked twin — pinned by
     tests/test_operators.py::test_decontamination_lsh_subset_of_exact;
-    recall follows the LSH probability, hence rows-only."""
+    recall follows the LSH probability, hence rows-only. ``bipartite``
+    passes the SAME content-keyed split the downstream filter uses, so the
+    within-split (train-train) share — the quadratic bulk of the bucket
+    self-join — never leaves the candidate join; output-identical because
+    cross_split_contamination discards same-split pairs anyway."""
     from kafka_etl_automation_spark.operators import curation
 
     t = load_tables(spark, sf_dir, names=("documents",))
     docs = t["documents"]
     pairs = dedup.minhash_lsh_pairs(
-        docs, n=3, num_hashes=64, bands=32, threshold=0.2
+        docs, n=3, num_hashes=64, bands=32, threshold=0.2,
+        bipartite=text.hash_split("text", 90),
     )
     return curation.cross_split_contamination(docs, pairs)
 

@@ -77,8 +77,10 @@ def test_query_matches_oracle(spark, duck, name):
 
 
 # Queries chosen to cover every branch of the engine-hash canonicalization:
-# doubles (%.17e), timestamps, duck DATE->datetime64, decimals-as-strings,
-# ints/strings/bools, NULL handling.
+# doubles (%.17e), timestamps, duck DATE->datetime64, ints/strings/bools,
+# NULL handling. The DECIMAL branch has no registered query (every oracle
+# emits DOUBLE per the 2^53 rule) — test_engine_hash_digest_decimal_branch
+# below pins it with a dedicated frame.
 ENGINE_HASH_PIN = [
     "flagship_dim_customer",
     "a3_pricing_summary",
@@ -115,3 +117,83 @@ def test_engine_hash_digest_matches_python_reference(spark, duck, name):
     assert ddig == cc.engine_digest_pandas(duck.execute(oracles[name]).df())
     # and the two engines agree with each other (the gate's actual compare)
     assert sdig == ddig
+
+
+_DECIMAL_PIN_SQL = """
+    SELECT l_returnflag AS rf,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+             AS sum_qty,
+           CAST(-0.5 AS DECIMAL(6,2)) AS neg,
+           CAST(NULL AS DECIMAL(8,3)) AS nulldec
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def test_engine_hash_digest_decimal_branch(spark, duck):
+    """ADVICE r06: the DECIMAL branch of the engine-hash canonicalization
+    was unpinned — no registered oracle emits DECIMAL, and duck's .df()
+    renders DECIMAL as float64, so the pandas-reference leg cannot be
+    computed from .df() on that branch (engine CAST AS VARCHAR gives
+    '1.50', %.17e of the float64 does not). Pin it with a dedicated
+    decimal-emitting frame, identical SQL both engines; the duck reference
+    frame is materialized via fetchall(), which preserves decimal.Decimal
+    (str() of which equals the engine's VARCHAR cast, scale included)."""
+    import sys
+
+    import pandas as pd
+
+    sys.path.insert(0, "/root/repo/tools")
+    import check_correctness as cc
+
+    from kafka_etl_automation_spark.catalog import load_tables
+
+    t = load_tables(spark, SF_SMALL, names=("lineitem",))
+    t["lineitem"].createOrReplaceTempView("lineitem")
+    sdf = spark.sql(_DECIMAL_PIN_SQL)
+    from pyspark.sql import types as T
+
+    assert any(
+        isinstance(f.dataType, T.DecimalType) for f in sdf.schema.fields
+    )
+    sdig = cc.spark_engine_digest(sdf)
+    assert sdig is not None
+    assert sdig == cc.engine_digest_pandas(sdf.toPandas())
+    ddig = cc.duck_engine_digest(duck, _DECIMAL_PIN_SQL)
+    assert ddig is not None
+    cur = duck.execute(_DECIMAL_PIN_SQL)
+    ref = pd.DataFrame(
+        cur.fetchall(), columns=[d[0] for d in cur.description], dtype=object
+    )
+    assert ddig == cc.engine_digest_pandas(ref)
+    assert sdig == ddig
+
+
+def test_canonical_oracle_short_duplicate_texts(spark):
+    """ADVICE r06: duplicate texts SHORTER than the shingle width (< 3
+    tokens) emit no shingles, so the old recursive-CTE oracle kept them as
+    singletons while the engine's exact-text collapse merges them. The
+    oracle now carries an explicit text-equality edge; both engines must
+    agree on a corpus where that corner is live."""
+    import duckdb
+
+    from kafka_etl_automation_spark.operators import dedup
+    from kafka_etl_automation_spark.plans.extensions import _CANONICAL_ORACLE
+
+    docs = [
+        (1, "hi there"),            # 2 tokens: no shingles
+        (2, "hi there"),            # exact dup of 1 -> must merge
+        (3, "alpha beta gamma delta epsilon"),
+        (4, "alpha beta gamma delta epsilon"),  # >= 3-token exact dup
+        (5, "solo"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.keep_id, r.n_members)
+        for r in dedup.canonical_keep_list(df, n=3, threshold=0.2).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    want = {tuple(r) for r in con.execute(_CANONICAL_ORACLE).fetchall()}
+    assert got == want, (got, want)
+    assert (1, 2) in got  # the short-dup pair merged identically

@@ -521,6 +521,122 @@ def test_decontamination_lsh_subset_of_exact(spark):
         assert len(lsh) / len(exact) >= 0.5, (len(lsh), len(exact))
 
 
+def test_minhash_candidate_scopes(spark):
+    """ADVICE r06: candidate_scope='star' and bipartite must actually do
+    what the docstring promises.
+
+    - star: output pairs are a SUBSET of the all-pairs run at the same
+      params, and on star/clique-shaped dup families (every member similar
+      to the bucket min) connected components are preserved;
+    - bipartite: output equals the all-pairs run filtered to cross-label
+      pairs — no same-label pair survives;
+    - invalid scope / star+bipartite raise."""
+    import pytest
+
+    from kafka_etl_automation_spark.operators import dedup, text
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (1, base),
+        (2, base + " lambda"),
+        (3, base + " mu nu"),
+        (4, "totally different content about spark execution engines here"),
+        (5, "totally different content about spark execution engines too"),
+        (6, "unrelated third thing entirely separate from both families"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    kw = dict(n=3, num_hashes=64, bands=16, threshold=0.2, collapse_exact=False)
+    allp = {
+        (r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(df, **kw).collect()
+    }
+    star = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            df, candidate_scope="star", **kw
+        ).collect()
+    }
+    assert star <= allp
+    # components must match on these clique-shaped families
+    ids = df.select(F.col("doc_id"))
+
+    def comps(pairs_set):
+        pdf = spark.createDataFrame(
+            [(a, b) for a, b in sorted(pairs_set)] or [(None, None)],
+            "id_a long, id_b long",
+        ).dropna()
+        out = dedup.connected_components(pdf, ids, id_col="doc_id")
+        return {(r.doc_id, r.cluster_id) for r in out.collect()}
+
+    assert comps(star) == comps(allp)
+    # bipartite == all-pairs filtered to cross-label
+    lbl_of = {i: (1 if i % 2 else 0) for i, _ in docs}
+    bip = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            df, bipartite=(F.col("doc_id") % 2).cast("int"), **kw
+        ).collect()
+    }
+    assert bip == {
+        (a, b) for a, b in allp if lbl_of[a] != lbl_of[b]
+    }, (bip, allp)
+    with pytest.raises(ValueError, match="candidate_scope"):
+        dedup.minhash_lsh_pairs(df, candidate_scope="bogus", **kw)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        dedup.minhash_lsh_pairs(
+            df,
+            candidate_scope="star",
+            bipartite=text.hash_split("text", 90),
+            **kw,
+        )
+
+
+def test_lsh_recall_floors(spark):
+    """VERDICT r06 #4: pin OBSERVED recall of the two deployable LSH
+    shapes against their exact twins at the gate corpus (sf0.01), not just
+    the banding math.
+
+    - decontamination: contaminated-eval-doc recall of
+      ext_decontamination_lsh vs the exact ext_decontamination;
+    - canonical dedup: MERGE recall — fraction of (n_docs - n_clusters)
+      dedup merges achieved — of the star-LSH keep-list vs the exact
+      pair source at the SAME threshold (0.5), isolating LSH recall from
+      the threshold choice."""
+    from kafka_etl_automation_spark.operators import dedup
+    from kafka_etl_automation_spark.plans import extensions as ext
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r.eval_doc_id for r in ext.ext_decontamination(spark, sf).collect()}
+    lsh = {
+        r.eval_doc_id for r in ext.ext_decontamination_lsh(spark, sf).collect()
+    }
+    assert lsh <= exact
+    if exact:
+        assert len(lsh) / len(exact) >= 0.95, (len(lsh), len(exact))
+
+    from kafka_etl_automation_spark.catalog import load_tables
+
+    docs = load_tables(spark, sf, names=("documents",))["documents"]
+    n_docs = docs.count()
+    exact_kl = dedup.canonical_keep_list(
+        docs,
+        pair_source=lambda reps: dedup.ngram_jaccard_pairs(
+            reps, "text", "doc_id", 3, 0.5
+        ),
+    ).count()
+    lsh_kl = dedup.canonical_keep_list(
+        docs,
+        pair_source=lambda reps: dedup.minhash_lsh_pairs(
+            reps, n=3, num_hashes=64, bands=16, threshold=0.5,
+            collapse_exact=False, candidate_scope="star",
+        ),
+    ).count()
+    exact_merges = n_docs - exact_kl
+    lsh_merges = n_docs - lsh_kl
+    assert lsh_merges <= exact_merges  # precision: never merges more
+    if exact_merges:
+        assert lsh_merges / exact_merges >= 0.95, (lsh_merges, exact_merges)
+
+
 def test_curation_pipeline_semantics(spark):
     """curate(): quality/lang/token filters drop bad docs, duplicate
     content keeps only the canonical (min id) copy, split is content-keyed
