@@ -629,12 +629,19 @@ def connected_components(
     minimum reachable doc id as its cluster id (keep ``doc_id ==
     cluster_id`` to dedup a corpus).
 
-    Min-label propagation to fixpoint: each iteration joins labels across
-    edges and keeps the minimum — the standard large-graph CC pattern
-    (hash-partitioned joins, state is one row per node, diameter-bounded
-    iterations). The driver-side loop is inherent to iterative algorithms
-    (same shape as GraphX/GraphFrames); each iteration's convergence check
-    is one count on the changed set.
+    Min-label propagation WITH POINTER JUMPING: each iteration takes
+    label(u) <- min(label(u), min over neighbors' labels, label(label(u))).
+    The neighbor term is the standard large-graph CC join; the
+    label-of-label term (one extra keyed join per iteration, state stays
+    one row per node) halves every label chain, so convergence is
+    O(log diameter) rounds instead of O(diameter) — the difference between
+    6 and 25+ rounds on the chain-shaped graphs star-scope LSH candidates
+    produce (r07 measured min-label-only crawling at 25 iterations /
+    209s on the 30x corpus where the jumped version converges in a
+    handful; same trick as GraphFrames' large-star/small-star and
+    Hash-to-Min). The driver-side loop is inherent to iterative
+    algorithms; each iteration's convergence check is one limit(1) count
+    on the changed set.
     """
     from pyspark import StorageLevel
 
@@ -657,13 +664,28 @@ def connected_components(
             .groupBy(edges.u.alias("nu"))
             .agg(F.min("label").alias("nmin"))
         )
+        stepped = labels.join(
+            neighbor_min, labels.u == F.col("nu"), "left"
+        ).select(
+            "u",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+            ).alias("l1"),
+        )
+        # pointer jump: label(label(u)). Chains a->b->c->... halve each
+        # round; labels are node ids, so the lookup is a keyed self-join
+        # on the one-row-per-node label frame (l1 misses only when l1 is
+        # already a root that lost its row — coalesce keeps it).
+        jump = labels.select(
+            F.col("u").alias("l1"), F.col("label").alias("l2")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.u == F.col("nu"), "left")
+            stepped.join(jump, "l1", "left")
             .select(
                 "u",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
+                F.least(F.col("l1"), F.coalesce(F.col("l2"), F.col("l1"))).alias(
+                    "label"
+                ),
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
