@@ -636,24 +636,37 @@ def connected_components(
     one row per node) halves every label chain, so convergence is
     O(log diameter) rounds instead of O(diameter) — the difference between
     6 and 25+ rounds on the chain-shaped graphs star-scope LSH candidates
-    produce (r07 measured min-label-only crawling at 25 iterations /
-    209s on the 30x corpus where the jumped version converges in a
-    handful; same trick as GraphFrames' large-star/small-star and
+    produce (same trick as GraphFrames' large-star/small-star and
     Hash-to-Min). The driver-side loop is inherent to iterative
     algorithms; each iteration's convergence check is one limit(1) count
     on the changed set.
-    """
-    from pyspark import StorageLevel
 
+    LINEAGE TRUNCATION is load-bearing, not hygiene: every iteration
+    references the previous ``labels`` plan 2-3 times, so without
+    truncation the ANALYZED plan tree grows ~3^iterations copies of the
+    (often enormous — a full LSH pipeline) pair-source lineage, and the
+    driver burns minutes canonicalizing it for cache lookup while the
+    executors idle — r07 measured 5 iterations taking 372s on a 114k-node
+    / 300k-edge graph, single driver core pegged, before this fix; 3.9s
+    after. ``localCheckpoint(eager=True)`` materializes each round's
+    labels (and the edge frame once) and swaps the plan for a LogicalRDD
+    leaf, making per-iteration planning cost constant. On a multi-node
+    cluster prefer reliable ``checkpoint()`` (set a checkpoint dir) if
+    executor loss must be survivable mid-algorithm; the algorithm is
+    restartable either way.
+    """
+    # localCheckpoint (not persist): materializes AND truncates lineage —
+    # the pair-source plan (e.g. the whole LSH pipeline) must not be
+    # re-referenced by every iteration's growing tree (see docstring).
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     labels = ids.select(
         F.col(id_col).alias("u"), F.col(id_col).alias("label")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
 
     converged = False
     iters = 0
@@ -687,7 +700,7 @@ def connected_components(
                     "label"
                 ),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)  # plan becomes a LogicalRDD leaf
         )
         changed = (
             new_labels.alias("n")
@@ -696,12 +709,10 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             converged = True
             break
-    edges.unpersist()
     if stats is not None:
         stats["iterations"] = iters
     if not converged:

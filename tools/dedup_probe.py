@@ -20,6 +20,7 @@ here. Usage: python tools/dedup_probe.py DIR [DIR...]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -55,6 +56,10 @@ def main() -> int:
             threshold=0.5,
             collapse_exact=False,
             stats=lsh_stats,
+            # match the registered ext_dedup_canonical_lsh shape (r07:
+            # star edges — linear candidate volume; probe with
+            # SCOPE=all to reproduce the old self-join numbers)
+            candidate_scope=os.environ.get("SCOPE", "star"),
         )
         t_cand = time.time() - t0  # bucket sizing + distinct-candidate count
 
