@@ -18,33 +18,51 @@ import sys
 from collections import defaultdict
 
 
+def _iter_lines(d: str):
+    """Yield event-log lines from both layouts: flat single-file logs and
+    Spark's rolling dirs (eventlog_v2_*/events_*.zstd, decompressed via
+    the zstd CLI so no python-zstandard dependency)."""
+    import subprocess
+
+    for root, _dirs, files in os.walk(d):
+        for f in files:
+            if f.startswith(".") or f.startswith("appstatus"):
+                continue
+            path = os.path.join(root, f)
+            if f.endswith(".zstd"):
+                out = subprocess.run(
+                    ["zstd", "-dc", path], capture_output=True, text=True
+                )
+                yield from out.stdout.splitlines()
+            else:
+                with open(path, errors="ignore") as fh:
+                    yield from fh
+
+
 def main() -> int:
     d = sys.argv[1]
-    files = [os.path.join(d, f) for f in os.listdir(d) if not f.startswith(".")]
     stage_spill = defaultdict(lambda: [0, 0, 0])  # mem, disk, tasks
     stage_name = {}
     total_tasks = 0
-    for path in files:
-        with open(path) as f:
-            for line in f:
-                try:
-                    ev = json.loads(line)
-                except json.JSONDecodeError:
-                    continue
-                e = ev.get("Event")
-                if e == "SparkListenerStageSubmitted":
-                    si = ev["Stage Info"]
-                    stage_name[si["Stage ID"]] = si.get("Stage Name", "")
-                elif e == "SparkListenerTaskEnd":
-                    total_tasks += 1
-                    m = ev.get("Task Metrics") or {}
-                    mem = m.get("Memory Bytes Spilled", 0)
-                    dsk = m.get("Disk Bytes Spilled", 0)
-                    if mem or dsk:
-                        s = stage_spill[ev["Stage ID"]]
-                        s[0] += mem
-                        s[1] += dsk
-                        s[2] += 1
+    for line in _iter_lines(d):
+        try:
+            ev = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        e = ev.get("Event")
+        if e == "SparkListenerStageSubmitted":
+            si = ev["Stage Info"]
+            stage_name[si["Stage ID"]] = si.get("Stage Name", "")
+        elif e == "SparkListenerTaskEnd":
+            total_tasks += 1
+            m = ev.get("Task Metrics") or {}
+            mem = m.get("Memory Bytes Spilled", 0)
+            dsk = m.get("Disk Bytes Spilled", 0)
+            if mem or dsk:
+                s = stage_spill[ev["Stage ID"]]
+                s[0] += mem
+                s[1] += dsk
+                s[2] += 1
     total_mem = sum(v[0] for v in stage_spill.values())
     total_disk = sum(v[1] for v in stage_spill.values())
     for sid in sorted(stage_spill):
