@@ -370,17 +370,43 @@ def main() -> int:
         builder = builder.config("spark.eventLog.enabled", "true").config(
             "spark.eventLog.dir", evlog
         )
+    # Harness-side, not engine-side: the streaming gate queries land in a
+    # memory sink whose batches are serialized task results — at the 300x
+    # octave (30M events -> ~28.6M session rows) that legitimately exceeds
+    # the 1g default. Production streams use the parquet/per-run dir sink
+    # (S4); the memory sink exists only so the oracle can see the rows.
+    builder = builder.config(
+        "spark.driver.maxResultSize",
+        _os.environ.get("CHECK_MAX_RESULT", "8g"),
+    )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    con = duckdb.connect()
-    con.execute("SET TimeZone='UTC'")
-    for name in (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings".split()
-    ):
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+
+    def _duck_connect():
+        """Fresh oracle connection with a SPILL PATH. An in-memory DuckDB
+        has no temp_directory, so blocking operators (sorts/hash aggs/
+        recursive CTEs) must fit in RAM — at the 300x octave one oracle's
+        sort hit std::bad_alloc while sharing the host with the Spark JVM,
+        and the failed allocator state then poisoned every later oracle on
+        the same connection (r07 sweep). Cap the budget well below host RAM
+        and give it a temp dir: beyond the cap it spills instead of dying."""
+        c = duckdb.connect()
+        c.execute("SET TimeZone='UTC'")
+        c.execute(
+            "SET memory_limit='"
+            + _os.environ.get("CHECK_DUCK_MEM", "48GB") + "'"
         )
+        c.execute("SET temp_directory='/tmp/duck_spill.tmp'")
+        for name in (
+            "region nation customer supplier part orders lineitem events "
+            "documents embeddings".split()
+        ):
+            c.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+            )
+        return c
+
+    con = _duck_connect()
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     failures, errors, no_oracle = [], [], []
@@ -428,6 +454,15 @@ def main() -> int:
                 spark.catalog.clearCache()  # sweep must still continue
             except Exception:
                 pass
+            # A duck-side OOM leaves the connection's allocator poisoned
+            # (every later allocation fails — observed cascading through
+            # 30+ queries in the first 300x sweep). A fresh connection is
+            # cheap (views only), so always rebuild after an error.
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = _duck_connect()
             continue
         spark.catalog.clearCache()  # LSH ops persist() multi-branch frames
         if name not in oracles:
