@@ -843,7 +843,7 @@ def ext_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSION_WINDOW_ORACLE = """
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id
                                                     ORDER BY ts, event_id)
                    >= 1800
@@ -851,7 +851,7 @@ WITH flagged AS (
   FROM events
 ), seq AS (
   SELECT user_id, ts,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS s
   FROM flagged
 )

@@ -713,7 +713,7 @@ WITH e AS (
 ), seq AS (
   SELECT user_id, tsec,
          SUM(new_session) OVER (PARTITION BY user_id ORDER BY tsec
-                                ROWS UNBOUNDED PRECEDING) AS session_seq
+                                RANGE UNBOUNDED PRECEDING) AS session_seq
   FROM flagged
 )
 SELECT user_id,
@@ -722,6 +722,19 @@ SELECT user_id,
        COUNT(*) AS n_events
 FROM seq GROUP BY user_id, session_seq
 """
+# ^ session_seq frame must be RANGE, not ROWS: tsec is SECOND-truncated, so
+# two events of one user can tie, and tsec alone is not a total order. With
+# a ROWS frame the running sum among tied peers depends on DuckDB's
+# arbitrary tie order — if the tie group straddles a session boundary
+# (its first peer carries new_session=1), one ordering splits the peers
+# across two sessions while the other groups them, and the oracle flaps
+# run to run. RANGE gives every peer the same cumulative flag count
+# (<=1 flag per tie group, carried by the row whose LAG sees the previous
+# DISTINCT tsec), which is exactly the engine's semantics: equal-second
+# events always share a session. Found by the r07 300x digest sweep
+# (300 same-second (user,tsec) collisions there; zero at <=100x, so the
+# flap was invisible at lower octaves), where Spark's digest was stable
+# across runs and the DuckDB side returned two different answers.
 
 
 @register("stream_sessionize", _STREAM_SESSION_ORACLE)

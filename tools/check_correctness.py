@@ -396,6 +396,14 @@ def main() -> int:
             "SET memory_limit='"
             + _os.environ.get("CHECK_DUCK_MEM", "48GB") + "'"
         )
+        # Fewer oracle threads = less concurrent unspillable allocation —
+        # the 300x kmeans oracle (unrolled Lloyd SQL) exhausted a 24GB
+        # budget at DuckDB's default threads=all-32-cores but fits with
+        # fewer workers; also keeps the oracle from stealing every core
+        # from a concurrently-finishing Spark stage.
+        duck_threads = _os.environ.get("CHECK_DUCK_THREADS")
+        if duck_threads:
+            c.execute(f"SET threads={int(duck_threads)}")
         c.execute("SET temp_directory='/tmp/duck_spill.tmp'")
         for name in (
             "region nation customer supplier part orders lineitem events "
