@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     # shingle-self-join twin ext_decontamination is gate-only (it spilled
     # a 100x engine-hash sweep to ENOSPC — quadratic in shingle doc-freq)
     "ext_decontamination_lsh",
+    # decontaminate against the DEDUPED train corpus (keep-list first) —
+    # the documents-linear contract; exact twin is gate-only
+    "ext_decontamination_canonical_lsh",
     "ext_simhash_pairs",
     "ext_text_stats",
     "ext_quality_score",

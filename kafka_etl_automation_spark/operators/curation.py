@@ -313,3 +313,68 @@ def cross_split_contamination(
         F.max("jaccard").alias("max_jaccard"),
         F.count(F.lit(1)).cast("long").alias("n_train_matches"),
     )
+
+
+def decontaminate_canonical(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+    train_pct: int = 90,
+    keep_pair_source=None,
+    contam_pair_source=None,
+) -> DataFrame:
+    """Decontaminate eval against the DEDUPLICATED train corpus — the
+    contract a 100 TB pipeline actually ships, composed from the two
+    operators it already runs: the train split collapses to its canonical
+    keep-list (dedup.canonical_keep_list), then only the KEPT canonical
+    documents are checked against eval. Output schema matches
+    cross_split_contamination: one row per contaminated eval doc with its
+    worst kept-train match, max_jaccard, and n_train_matches (now = the
+    number of matched train CLUSTERS, since each cluster contributes
+    exactly its canonical doc).
+
+    Why this is the linear twin of the raw pair-report: the r07 octave
+    ladder measured ext_decontamination_lsh super-linear (19.9s -> 128.4s
+    for 100x -> 300x) because in-bucket cross-pair volume grows with
+    train-dup-family size x eval-dup-family size. Deduping train FIRST
+    removes the train-side family factor entirely — the kept corpus has
+    one doc per near-dup cluster, so bucket occupancy (and with it the
+    candidate join) stays flat as corpus multiplicity grows. A pipeline
+    that trains on the deduped corpus should decontaminate against the
+    deduped corpus anyway — matches against dropped members are matches
+    against their kept canonical's cluster by construction (the trade:
+    an eval doc similar to a dropped member but not to its canonical can
+    fall below threshold; the LSH twin's recall floor test quantifies the
+    analogous banding trade).
+
+    ``keep_pair_source`` / ``contam_pair_source`` default to exact trigram
+    Jaccard (deterministic — the gate query carries a full recursive-CTE +
+    all-pairs DuckDB oracle); at scale pass minhash closures (star scope
+    for the keep-list, bipartite banding for the cross-split check) for
+    the bounded deployable shape.
+
+    Reference parity: generalizes the duplicate-elimination semantics of
+    fact_dim_merging.sh:361-413 to the corpus-curation setting, same as
+    canonical_keep_list.
+    """
+    from kafka_etl_automation_spark.operators import dedup
+
+    split = text.hash_split(text_col, train_pct)
+    train = documents.filter(split == "train")
+    keeps = dedup.canonical_keep_list(
+        train, text_col, id_col, n, threshold, pair_source=keep_pair_source
+    )
+    # keep_id IS a doc_id (the cluster's min member) — one semi join
+    # selects the canonical documents, no extra projection needed
+    kept = train.join(
+        keeps.select(F.col("keep_id").alias(id_col)), id_col, "semi"
+    )
+    evals = documents.filter(split == "eval")
+    corpus = kept.unionByName(evals)
+    if contam_pair_source is None:
+        pairs = dedup.ngram_jaccard_pairs(corpus, text_col, id_col, n, threshold)
+    else:
+        pairs = contam_pair_source(corpus)
+    return cross_split_contamination(corpus, pairs, text_col, id_col, train_pct)

@@ -64,6 +64,8 @@ _PRIORITY = [
     "ext_source_mix",
     "ext_decontamination",
     "ext_decontamination_lsh",
+    "ext_decontamination_canonical",
+    "ext_decontamination_canonical_lsh",
     "ext_source_cap",
     "ext_cdc_apply",
     "ext_incremental_rollup",

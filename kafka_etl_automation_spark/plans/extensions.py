@@ -1578,6 +1578,137 @@ def ext_decontamination_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.cross_split_contamination(docs, pairs)
 
 
+# Decontamination against the DEDUPLICATED train corpus: cluster the train
+# split (recursive-CTE reachability over the exact pair graph + exact-text
+# edges, exactly the ext_dedup_canonical oracle scoped to train), keep each
+# cluster's min member, then run the exact cross-split check between the
+# kept canonicals and eval.
+_DECONTAM_CANONICAL_ORACLE = f"""
+WITH sp0 AS (
+  SELECT doc_id, text,
+         CASE WHEN {_BUCKET} < 90 THEN 'train' ELSE 'eval' END AS split
+  FROM documents
+), tr AS (
+  SELECT doc_id, text FROM sp0 WHERE split = 'train'
+), ttoks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS t FROM tr
+), tsh AS (
+  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3
+    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+    ELSE [] END)) AS sh
+  FROM ttoks
+), tsizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM tsh GROUP BY doc_id),
+tinter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM tsh a JOIN tsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+tpairs AS (
+  SELECT i.id_a, i.id_b FROM tinter i
+  JOIN tsizes sa ON sa.doc_id = i.id_a
+  JOIN tsizes sb ON sb.doc_id = i.id_b
+  WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.2),
+te AS (SELECT id_a AS u, id_b AS v FROM tpairs
+       UNION SELECT id_b, id_a FROM tpairs
+       UNION SELECT a.doc_id, b.doc_id FROM tr a
+             JOIN tr b ON a.text = b.text AND a.doc_id <> b.doc_id),
+r AS (
+  WITH RECURSIVE reach(u, v) AS (
+    SELECT doc_id, doc_id FROM tr
+    UNION
+    SELECT reach.u, te.v FROM reach JOIN te ON reach.v = te.u
+  ) SELECT * FROM reach),
+keepids AS (
+  SELECT DISTINCT MIN(v) AS doc_id FROM r GROUP BY u),
+corpus AS (
+  SELECT t.doc_id, t.text, 'train' AS split
+  FROM tr t JOIN keepids k ON t.doc_id = k.doc_id
+  UNION ALL
+  SELECT doc_id, text, 'eval' FROM sp0 WHERE split = 'eval'),
+ctoks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS t FROM corpus
+), csh AS (
+  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3
+    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+    ELSE [] END)) AS sh
+  FROM ctoks
+), csizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM csh GROUP BY doc_id),
+cinter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM csh a JOIN csh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+cpairs AS (
+  SELECT i.id_a, i.id_b,
+         i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+  FROM cinter i
+  JOIN csizes sa ON sa.doc_id = i.id_a
+  JOIN csizes sb ON sb.doc_id = i.id_b
+  WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.2),
+tagged AS (
+  SELECT p.id_a, p.id_b, p.jaccard, a.split AS split_a, b.split AS split_b
+  FROM cpairs p
+  JOIN corpus a ON a.doc_id = p.id_a
+  JOIN corpus b ON b.doc_id = p.id_b
+  WHERE a.split <> b.split),
+es AS (
+  SELECT CASE WHEN split_a = 'eval' THEN id_a ELSE id_b END AS eval_doc_id,
+         CASE WHEN split_a = 'eval' THEN id_b ELSE id_a END AS train_doc_id,
+         jaccard
+  FROM tagged)
+SELECT eval_doc_id,
+       train_doc_id AS worst_train_match,
+       MAX(jaccard) OVER (PARTITION BY eval_doc_id) AS max_jaccard,
+       COUNT(*) OVER (PARTITION BY eval_doc_id) AS n_train_matches
+FROM es
+QUALIFY ROW_NUMBER() OVER (PARTITION BY eval_doc_id
+                           ORDER BY jaccard DESC, train_doc_id ASC) = 1
+"""
+
+
+@register("ext_decontamination_canonical", _DECONTAM_CANONICAL_ORACLE)
+def ext_decontamination_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontaminate eval against the DEDUPLICATED train corpus
+    (operators.curation.decontaminate_canonical): the train split collapses
+    to its canonical keep-list first, then only the kept canonical docs are
+    checked cross-split — n_train_matches becomes matched train CLUSTERS.
+    This is the contract that stays documents-linear at corpus scale: the
+    raw pair report (ext_decontamination_lsh) grows with train-dup-family x
+    eval-dup-family in-bucket volume (measured super-linear at 300x),
+    while the deduped train side has one doc per family by construction.
+    Exact pair sources here (gate verifier, full SQL oracle); the LSH twin
+    below is the deployable shape."""
+    from kafka_etl_automation_spark.operators import curation
+
+    t = load_tables(spark, sf_dir, names=("documents",))
+    return curation.decontaminate_canonical(t["documents"])
+
+
+@register("ext_decontamination_canonical_lsh")  # LSH recall -> rows-only
+def ext_decontamination_canonical_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deployable decontaminate-against-deduped-corpus shape: star-scope
+    banded LSH builds the train keep-list (candidates linear in banded
+    rows), then bipartite banded LSH checks kept-train vs eval (within-split
+    pairs never leave the candidate join). Both stages exact-verify their
+    candidates, so every reported (eval, kept-train) match is a true
+    >= threshold match — precision exact; recall follows the banding
+    probability (64 hashes / 32 bands -> r=2 at threshold 0.2), hence
+    rows-only here, with the floor vs the oracle-checked exact twin pinned
+    by tests/test_operators.py::test_decontamination_canonical_invariants."""
+    from kafka_etl_automation_spark.operators import curation
+
+    t = load_tables(spark, sf_dir, names=("documents",))
+    return curation.decontaminate_canonical(
+        t["documents"],
+        keep_pair_source=lambda reps: dedup.minhash_lsh_pairs(
+            reps, n=3, num_hashes=64, bands=32, threshold=0.2,
+            collapse_exact=False, candidate_scope="star",
+        ),
+        contam_pair_source=lambda corpus: dedup.minhash_lsh_pairs(
+            corpus, n=3, num_hashes=64, bands=32, threshold=0.2,
+            bipartite=text.hash_split("text", 90),
+        ),
+    )
+
+
 # C4-style cross-document duplicate-span (boilerplate) removal: chop each
 # doc into non-overlapping 5-word spans, spans present in >= 2 distinct
 # docs are boilerplate, rebuild clean text from surviving spans in order.

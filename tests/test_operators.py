@@ -1177,3 +1177,46 @@ def test_lsh_exact_collapse_preserves_pairs(spark):
     # schema must be unchanged by the expansion union
     out = dedup.simhash_near_pairs(df, max_hamming=3, chunks=4)
     assert [f.name for f in out.schema.fields] == ["id_a", "id_b", "hamming"]
+
+
+def test_decontamination_canonical_invariants(spark):
+    """decontaminate_canonical (r07): decontamination against the DEDUPED
+    train corpus. Invariants vs the full-train exact report at sf0.01:
+
+    - subset: kept docs are train docs, so every flagged eval doc (exact
+      AND lsh variants — verification is exact in both) must appear in
+      the full exact report, with per-doc n_train_matches and max_jaccard
+      never exceeding it;
+    - cluster semantics: n_train_matches counts matched train CLUSTERS,
+      so it can only shrink vs the raw per-doc count;
+    - recall floor of the deployable LSH twin vs the exact canonical
+      twin (r=2 banding at threshold 0.2)."""
+    from kafka_etl_automation_spark.plans import extensions as ext
+
+    full = {
+        r.eval_doc_id: r
+        for r in ext.ext_decontamination(spark, SF_SMALL).collect()
+    }
+    canon = {
+        r.eval_doc_id: r
+        for r in ext.ext_decontamination_canonical(spark, SF_SMALL).collect()
+    }
+    lsh = {
+        r.eval_doc_id: r
+        for r in ext.ext_decontamination_canonical_lsh(spark, SF_SMALL).collect()
+    }
+    # every canonical match is a true train match (keeps are train docs)
+    assert set(canon) <= set(full)
+    for doc_id, row in canon.items():
+        assert row.n_train_matches <= full[doc_id].n_train_matches
+        assert row.max_jaccard <= full[doc_id].max_jaccard + 1e-12
+    # the LSH twin exact-verifies candidates, so its matches are true
+    # matches against SOME keep-list's kept docs — still train docs
+    assert set(lsh) <= set(full)
+    for doc_id, row in lsh.items():
+        assert row.max_jaccard <= full[doc_id].max_jaccard + 1e-12
+    # recall floor vs the exact canonical twin
+    if canon:
+        assert len(set(lsh) & set(canon)) / len(canon) >= 0.95, (
+            sorted(lsh), sorted(canon),
+        )

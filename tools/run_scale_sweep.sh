@@ -47,6 +47,7 @@ import __spark_entry__ as e
 # pair-emitting / probabilistic LSH twins are quarantined to gate SF by
 # design (they have their own octave ladder, tools/dedup_ladder.py)
 skip = {"ext_decontamination", "ext_decontamination_lsh",
+        "ext_decontamination_canonical", "ext_decontamination_canonical_lsh",
         "ext_dedup_canonical", "ext_dedup_canonical_lsh",
         "ext_dedup_clusters", "ext_embedding_near_dup",
         "ext_lsh_cosine_topk", "ext_lsh_embedding_near_dup",
