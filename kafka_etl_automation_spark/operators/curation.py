@@ -361,6 +361,8 @@ def decontaminate_canonical(
     """
     from kafka_etl_automation_spark.operators import dedup
 
+    from pyspark import StorageLevel
+
     split = text.hash_split(text_col, train_pct)
     train = documents.filter(split == "train")
     keeps = dedup.canonical_keep_list(
@@ -372,7 +374,13 @@ def decontaminate_canonical(
         keeps.select(F.col("keep_id").alias(id_col)), id_col, "semi"
     )
     evals = documents.filter(split == "eval")
-    corpus = kept.unionByName(evals)
+    # Persist the deduped corpus: the downstream LSH pass references it
+    # from ~5 plan branches (collapse reps/members, signature build, the
+    # bipartite label projection, both split-tag sides), and every
+    # un-persisted reference would re-run the scan + keep-list semi join.
+    # One original-schema row per kept-or-eval doc — no bigger than the
+    # signature frames minhash_lsh_pairs already persists.
+    corpus = kept.unionByName(evals).persist(StorageLevel.MEMORY_AND_DISK)
     if contam_pair_source is None:
         pairs = dedup.ngram_jaccard_pairs(corpus, text_col, id_col, n, threshold)
     else:
