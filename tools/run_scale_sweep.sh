@@ -23,10 +23,13 @@
 #                    registered query except the known gate-SF-only ones
 #   OUT_LOG          default /tmp/scale_sweep.log
 # Env: CHUNK (default 20), CHECK_DUCK_MEM (24GB), CHECK_DUCK_THREADS (16),
-#      STREAM_DRIVER_MEM (48g). Heavy-oracle stragglers (e.g. the 300x
-#      kmeans unrolled-Lloyd SQL needs >24GB) rerun solo:
-#      CHECK_DUCK_MEM=80GB CHECK_DUCK_THREADS=16 \
-#        python tools/check_correctness.py SF_DIR --engine-hash <name>
+#      STREAM_DRIVER_MEM (48g). At the 300x octave pass CHECK_DUCK_MEM=48GB:
+#      verified to clear the full 99-query board in one invocation
+#      (2026-08-15, 99 ok / 0 failed / 0 errored, all chunks rc=0),
+#      including the kmeans unrolled-Lloyd oracle that OOMs a 24GB budget.
+#      A straggler that still exceeds the budget reruns solo:
+#      CHECK_DUCK_MEM=80GB python tools/check_correctness.py SF_DIR \
+#        --engine-hash <name>
 set -u
 cd "$(dirname "$0")/.."
 SF_DIR=${1:?usage: run_scale_sweep.sh SF_DIR [QUERY_LIST_FILE] [OUT_LOG]}
