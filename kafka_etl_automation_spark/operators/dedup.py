@@ -383,6 +383,7 @@ def minhash_lsh_pairs(
     stats: dict | None = None,
     candidate_scope: str = "all",
     bipartite=None,
+    content_keyed: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH, verified with exact
     Jaccard over the 64-bit shingle-hash sets so the output has no false
@@ -453,6 +454,21 @@ def minhash_lsh_pairs(
         raise ValueError(
             "candidate_scope='star' and bipartite are mutually exclusive: "
             "star edges all touch the bucket min regardless of label"
+        )
+    if bipartite is not None and collapse_exact and not content_keyed:
+        # The label is evaluated once per distinct-text rep and inherited
+        # by every member, which is correct ONLY for content-determined
+        # labels (a pure function of text_col, e.g. text.hash_split). A
+        # row-identity label (source column, doc id parity, ...) would
+        # silently mislabel collapsed members and drop identity pairs —
+        # require the caller to attest content-determinism explicitly
+        # rather than documenting the trap (ADVICE r07).
+        raise ValueError(
+            "bipartite with collapse_exact=True requires content_keyed=True: "
+            "the label must be a pure function of the text column (e.g. "
+            "text.hash_split) so exact-duplicate members inherit their "
+            "rep's label correctly; pass collapse_exact=False for "
+            "row-identity labels"
         )
 
     members = None
@@ -616,6 +632,24 @@ def minhash_lsh_pairs(
     )
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release the storage blocks behind a ``localCheckpoint(eager=True)``
+    frame. Unlike a persisted frame, a checkpointed one is NOT recomputable
+    once its blocks are dropped (Spark raises CHECKPOINT_RDD_BLOCK_ID_NOT_
+    FOUND) — so this is only safe on frames that are provably dead: no
+    live DataFrame plan references them. ``DataFrame.unpersist()`` does
+    NOT free these blocks (they live in the checkpointed RDD, not the
+    cache manager), which is why connected_components previously leaked
+    O(iterations) label frames per call until driver GC (ADVICE r07);
+    the underlying RDD is reachable as the LogicalRDD leaf's ``rdd`` field.
+    Best-effort: internal-API drift degrades to the old leak-until-GC
+    behavior, never to an error."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     pairs: DataFrame,
     ids: DataFrame,
@@ -670,49 +704,59 @@ def connected_components(
 
     converged = False
     iters = 0
-    for _ in range(max_iter):
-        iters += 1
-        neighbor_min = (
-            edges.join(labels, edges.v == labels.u)
-            .groupBy(edges.u.alias("nu"))
-            .agg(F.min("label").alias("nmin"))
-        )
-        stepped = labels.join(
-            neighbor_min, labels.u == F.col("nu"), "left"
-        ).select(
-            "u",
-            F.least(
-                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-            ).alias("l1"),
-        )
-        # pointer jump: label(label(u)). Chains a->b->c->... halve each
-        # round; labels are node ids, so the lookup is a keyed self-join
-        # on the one-row-per-node label frame (l1 misses only when l1 is
-        # already a root that lost its row — coalesce keeps it).
-        jump = labels.select(
-            F.col("u").alias("l1"), F.col("label").alias("l2")
-        )
-        new_labels = (
-            stepped.join(jump, "l1", "left")
-            .select(
-                "u",
-                F.least(F.col("l1"), F.coalesce(F.col("l2"), F.col("l1"))).alias(
-                    "label"
-                ),
+    try:
+        for _ in range(max_iter):
+            iters += 1
+            neighbor_min = (
+                edges.join(labels, edges.v == labels.u)
+                .groupBy(edges.u.alias("nu"))
+                .agg(F.min("label").alias("nmin"))
             )
-            .localCheckpoint(eager=True)  # plan becomes a LogicalRDD leaf
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.u") == F.col("o.u"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
+            stepped = labels.join(
+                neighbor_min, labels.u == F.col("nu"), "left"
+            ).select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("l1"),
+            )
+            # pointer jump: label(label(u)). Chains a->b->c->... halve each
+            # round; labels are node ids, so the lookup is a keyed self-join
+            # on the one-row-per-node label frame (l1 misses only when l1 is
+            # already a root that lost its row — coalesce keeps it).
+            jump = labels.select(
+                F.col("u").alias("l1"), F.col("label").alias("l2")
+            )
+            new_labels = (
+                stepped.join(jump, "l1", "left")
+                .select(
+                    "u",
+                    F.least(
+                        F.col("l1"), F.coalesce(F.col("l2"), F.col("l1"))
+                    ).alias("label"),
+                )
+                .localCheckpoint(eager=True)  # plan becomes a LogicalRDD leaf
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.u") == F.col("o.u"))
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            # new_labels is eagerly materialized and the changed count is
+            # done — the superseded labels frame is provably dead; free its
+            # checkpoint blocks now instead of leaking O(iterations) frames
+            # per call until driver GC (ADVICE r07)
+            _free_local_checkpoint(labels)
+            labels = new_labels
+            if changed == 0:
+                converged = True
+                break
+    finally:
+        # the returned labels frame is a self-contained LogicalRDD leaf —
+        # the edge frame is dead once the loop exits (converged or raised)
+        _free_local_checkpoint(edges)
     if stats is not None:
         stats["iterations"] = iters
     if not converged:

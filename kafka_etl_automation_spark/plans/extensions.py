@@ -127,7 +127,14 @@ _E_CTE_TEXT_EDGES = """e AS (SELECT id_a AS u, id_b AS v FROM pairs
             UNION SELECT a.doc_id, b.doc_id FROM documents a
                   JOIN documents b
                   ON a.text = b.text AND a.doc_id <> b.doc_id),"""
-assert _CLUSTER_ORACLE.count(_E_CTE) == 1
+# Explicit check, not an assert: under `python -O` an assert is stripped
+# and a drifted _CLUSTER_ORACLE would make the .replace below a silent
+# no-op, dropping the exact-text-edge fix from the oracle (ADVICE r07).
+if _CLUSTER_ORACLE.count(_E_CTE) != 1:
+    raise RuntimeError(
+        "_CLUSTER_ORACLE drifted: expected exactly one _E_CTE occurrence "
+        "to splice the exact-text edges into _CANONICAL_ORACLE"
+    )
 _CANONICAL_ORACLE = (
     "WITH comp AS ("
     + _CLUSTER_ORACLE.replace(_E_CTE, _E_CTE_TEXT_EDGES)
@@ -1573,7 +1580,7 @@ def ext_decontamination_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t["documents"]
     pairs = dedup.minhash_lsh_pairs(
         docs, n=3, num_hashes=64, bands=32, threshold=0.2,
-        bipartite=text.hash_split("text", 90),
+        bipartite=text.hash_split("text", 90), content_keyed=True,
     )
     return curation.cross_split_contamination(docs, pairs)
 
@@ -1704,7 +1711,7 @@ def ext_decontamination_canonical_lsh(spark: SparkSession, sf_dir: str) -> DataF
         ),
         contam_pair_source=lambda corpus: dedup.minhash_lsh_pairs(
             corpus, n=3, num_hashes=64, bands=32, threshold=0.2,
-            bipartite=text.hash_split("text", 90),
+            bipartite=text.hash_split("text", 90), content_keyed=True,
         ),
     )
 

@@ -88,6 +88,28 @@ def test_connected_components(spark):
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 99: 99}
 
 
+def test_connected_components_frees_superseded_checkpoints(spark):
+    """ADVICE r07: each CC iteration localCheckpoints a labels frame;
+    superseded ones (and the edge frame) must be freed when dead, or a
+    long-lived session clustering repeatedly accumulates O(iterations)
+    checkpointed RDD blocks per call. After a call, at most the RETURNED
+    labels frame's blocks may linger; the result must still be usable
+    (its leaf is self-contained)."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(13)], "id long")
+    out = dedup.connected_components(pairs, ids)
+    after = jsc.getPersistentRDDs().size()
+    # a chain of diameter 12 takes several pointer-jump rounds; only the
+    # final labels frame may remain
+    assert after - before <= 1, (before, after)
+    # the survivor is the result's backing store — still fully usable
+    assert {r.cluster_id for r in out.collect()} == {0}
+
+
 def test_connected_components_raises_on_non_convergence(spark):
     import pytest
 
@@ -587,6 +609,13 @@ def test_minhash_candidate_scopes(spark):
             candidate_scope="star",
             bipartite=text.hash_split("text", 90),
             **kw,
+        )
+    # bipartite + collapse_exact demands an explicit content-keyed
+    # attestation — a row-identity label would silently mislabel collapsed
+    # members (ADVICE r07)
+    with pytest.raises(ValueError, match="content_keyed"):
+        dedup.minhash_lsh_pairs(
+            df, bipartite=(F.col("doc_id") % 2).cast("int"), collapse_exact=True
         )
 
 

@@ -30,9 +30,24 @@ def _iter_lines(d: str):
                 continue
             path = os.path.join(root, f)
             if f.endswith(".zstd"):
-                out = subprocess.run(
-                    ["zstd", "-dc", path], capture_output=True, text=True
-                )
+                # Fail loudly when a log file cannot be decoded — a missing
+                # zstd binary or a corrupt file would otherwise silently
+                # yield zero events and under-report spills as "none"
+                # (ADVICE r07).
+                try:
+                    out = subprocess.run(
+                        ["zstd", "-dc", path], capture_output=True, text=True
+                    )
+                except FileNotFoundError:
+                    raise SystemExit(
+                        "zstd CLI not found: cannot decode rolling event "
+                        f"log {path} — install zstd or use a flat log layout"
+                    )
+                if out.returncode != 0:
+                    raise SystemExit(
+                        f"zstd failed decoding {path} (rc={out.returncode}): "
+                        f"{out.stderr.strip()[:200]}"
+                    )
                 yield from out.stdout.splitlines()
             else:
                 with open(path, errors="ignore") as fh:
