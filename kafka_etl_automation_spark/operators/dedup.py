@@ -230,6 +230,36 @@ def minhash_signatures(
     )
 
 
+def signature_sets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """The per-document frame minhash_lsh_pairs builds internally: one row
+    per doc with BOTH the exact-verification shingle-hash set (``sh``,
+    array<long>) and the full MinHash signature (``mh0..mh{k-1}``), built
+    in ONE explode + ONE aggregation (the k mins and the collect_set
+    combine map-side, so the shuffle carries one row per doc).
+
+    Public so multi-pass pipelines can sign a corpus ONCE and feed several
+    LSH passes via ``minhash_lsh_pairs(sig_source=...)`` — e.g.
+    decontaminate_canonical_lsh's keep-list pass (train rows) and
+    cross-split pass (kept ∪ eval rows) are both filters over one shared
+    signed frame instead of two full shingle+hash builds over overlapping
+    corpora (VERDICT r07 #2). Documents with fewer than n tokens yield no
+    row, same as the inline build."""
+    rows = _shingle_hash_rows(df, text_col, id_col, n)
+    return rows.groupBy("id").agg(
+        F.collect_set("sh").alias("sh"),
+        *[
+            F.min(F.xxhash64(F.lit(j), F.col("sh"))).alias(f"mh{j}")
+            for j in range(num_hashes)
+        ],
+    )
+
+
 def _exact_text_collapse(
     df: DataFrame, text_col: str, id_col: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -384,6 +414,9 @@ def minhash_lsh_pairs(
     candidate_scope: str = "all",
     bipartite=None,
     content_keyed: bool = False,
+    sig_source: DataFrame | None = None,
+    bipartite_col: str | None = None,
+    members: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH, verified with exact
     Jaccard over the 64-bit shingle-hash sets so the output has no false
@@ -455,6 +488,31 @@ def minhash_lsh_pairs(
             "candidate_scope='star' and bipartite are mutually exclusive: "
             "star edges all touch the bucket min regardless of label"
         )
+    if sig_source is not None:
+        # Shared-signature mode (VERDICT r07 #2): the caller pre-built the
+        # (id, sh, mh0..mh{k-1}) frame — usually one signature_sets() pass
+        # over a superset corpus, filtered per LSH pass — so this call does
+        # no shingling/collapsing of its own. Collapse/label semantics are
+        # the caller's job: pass ``members`` for member fan-out and
+        # ``bipartite_col`` (a label column already ON sig_source) for the
+        # cross-label contract.
+        if collapse_exact:
+            raise ValueError(
+                "sig_source requires collapse_exact=False: the caller owns "
+                "collapse (pass members= for the fan-out)"
+            )
+        if bipartite is not None:
+            raise ValueError(
+                "sig_source requires bipartite=None: put the label on the "
+                "signed frame and name it via bipartite_col"
+            )
+    elif bipartite_col is not None or members is not None:
+        raise ValueError("bipartite_col/members are only valid with sig_source")
+    if bipartite_col is not None and candidate_scope == "star":
+        raise ValueError(
+            "candidate_scope='star' and bipartite_col are mutually exclusive: "
+            "star edges all touch the bucket min regardless of label"
+        )
     if bipartite is not None and collapse_exact and not content_keyed:
         # The label is evaluated once per distinct-text rep and inherited
         # by every member, which is correct ONLY for content-determined
@@ -471,7 +529,6 @@ def minhash_lsh_pairs(
             "row-identity labels"
         )
 
-    members = None
     if collapse_exact:
         df, members = _exact_text_collapse(df, text_col, id_col)
     # (id, label) projection for bipartite filtering. Taken AFTER collapse,
@@ -490,19 +547,15 @@ def minhash_lsh_pairs(
     # it feeds band generation and both verification sides, the banded
     # frame feeds bucket sizing and both self-join sides. Persist both —
     # each is compact (one row per doc / 16 narrow rows per doc), a
-    # sliver of corpus size at any scale.
-    sh_rows = _shingle_hash_rows(df, text_col, id_col, n)
-    src = (
-        sh_rows.groupBy("id")
-        .agg(
-            F.collect_set("sh").alias("sh"),
-            *[
-                F.min(F.xxhash64(F.lit(j), F.col("sh"))).alias(f"mh{j}")
-                for j in range(num_hashes)
-            ],
+    # sliver of corpus size at any scale. In shared mode the caller owns
+    # sig_source's persistence (it is typically a filter over one
+    # persisted signed frame feeding several passes).
+    if sig_source is not None:
+        src = sig_source
+    else:
+        src = signature_sets(df, text_col, id_col, n, num_hashes).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
 
     band_structs = [
         F.struct(
@@ -513,8 +566,18 @@ def minhash_lsh_pairs(
         )
         for bid in range(bands)
     ]
-    band_src = src if lbl is None else src.join(lbl, "id")
-    band_cols = [] if lbl is None else ["_lbl"]
+    if lbl is not None:
+        band_src, band_cols = src.join(lbl, "id"), ["_lbl"]
+    elif bipartite_col is not None:
+        # label already rides the signed frame — no join, no extra scan
+        band_src = (
+            src
+            if bipartite_col == "_lbl"
+            else src.withColumnRenamed(bipartite_col, "_lbl")
+        )
+        band_cols = ["_lbl"]
+    else:
+        band_src, band_cols = src, []
     banded = (
         band_src.select("id", *band_cols, F.explode(F.array(*band_structs)).alias("bb"))
         .select(
@@ -565,7 +628,7 @@ def minhash_lsh_pairs(
             & (F.col("x.bkey") == F.col("y.bkey"))
             & (F.col("x.id") < F.col("y.id"))
         )
-        if lbl is not None:
+        if band_cols:
             # Cross-label-only contract: same-label pairs never leave the
             # join, removing the within-label (e.g. train-train) share —
             # the quadratic bulk — before distinct.
@@ -628,7 +691,7 @@ def minhash_lsh_pairs(
         banded_ok.select("id").distinct(),
         "jaccard",
         F.lit(1.0),
-        include_within=bipartite is None,
+        include_within=bipartite is None and bipartite_col is None,
     )
 
 
@@ -698,14 +761,34 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = ids.select(
-        F.col(id_col).alias("u"), F.col(id_col).alias("label")
-    ).localCheckpoint(eager=True)
+    # Round 1 folds the identity initialization: label(u) = u, so the
+    # neighbor-min is just min(v) per u straight off the edge frame and the
+    # pointer jump is a no-op — one groupBy + one left join against the id
+    # list, no initial labels checkpoint, no self-joins. Rounds 2+ run the
+    # general step below.
+    first_nmin = edges.groupBy(F.col("u").alias("nu")).agg(
+        F.min("v").alias("nmin")
+    )
+    ck_labels = (
+        ids.select(F.col(id_col).alias("u"))
+        .join(first_nmin, F.col("u") == F.col("nu"), "left")
+        .select(
+            "u",
+            F.least(F.col("u"), F.coalesce(F.col("nmin"), F.col("u"))).alias(
+                "label"
+            ),
+        )
+        .select("u", "label", (F.col("label") != F.col("u")).alias("_changed"))
+        .localCheckpoint(eager=True)
+    )
+    labels = ck_labels.select("u", "label")
 
-    converged = False
-    iters = 0
+    converged = ck_labels.filter("_changed").limit(1).count() == 0
+    iters = 1
     try:
-        for _ in range(max_iter):
+        for _ in range(max_iter - 1):
+            if converged:
+                break
             iters += 1
             neighbor_min = (
                 edges.join(labels, edges.v == labels.u)
@@ -716,6 +799,7 @@ def connected_components(
                 neighbor_min, labels.u == F.col("nu"), "left"
             ).select(
                 "u",
+                F.col("label").alias("_old"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("l1"),
@@ -727,29 +811,36 @@ def connected_components(
             jump = labels.select(
                 F.col("u").alias("l1"), F.col("label").alias("l2")
             )
-            new_labels = (
+            # The convergence flag rides the checkpointed frame itself
+            # (label != previous label), so the per-iteration check is a
+            # limit(1) scan of the freshly materialized leaf — the r07
+            # shape re-joined new vs old labels on u, one full extra
+            # shuffle join per iteration that profiling showed was ~40%
+            # of CC's wall (VERDICT r07 #5).
+            new_ck = (
                 stepped.join(jump, "l1", "left")
                 .select(
                     "u",
+                    "_old",
                     F.least(
                         F.col("l1"), F.coalesce(F.col("l2"), F.col("l1"))
                     ).alias("label"),
                 )
+                .select(
+                    "u",
+                    "label",
+                    (F.col("label") != F.col("_old")).alias("_changed"),
+                )
                 .localCheckpoint(eager=True)  # plan becomes a LogicalRDD leaf
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), F.col("n.u") == F.col("o.u"))
-                .filter(F.col("n.label") != F.col("o.label"))
-                .limit(1)
-                .count()
-            )
-            # new_labels is eagerly materialized and the changed count is
+            changed = new_ck.filter("_changed").limit(1).count()
+            # new_ck is eagerly materialized and the changed count is
             # done — the superseded labels frame is provably dead; free its
             # checkpoint blocks now instead of leaking O(iterations) frames
             # per call until driver GC (ADVICE r07)
-            _free_local_checkpoint(labels)
-            labels = new_labels
+            _free_local_checkpoint(ck_labels)
+            ck_labels = new_ck
+            labels = new_ck.select("u", "label")
             if changed == 0:
                 converged = True
                 break

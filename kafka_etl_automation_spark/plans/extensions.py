@@ -1699,21 +1699,15 @@ def ext_decontamination_canonical_lsh(spark: SparkSession, sf_dir: str) -> DataF
     >= threshold match — precision exact; recall follows the banding
     probability (64 hashes / 32 bands -> r=2 at threshold 0.2), hence
     rows-only here, with the floor vs the oracle-checked exact twin pinned
-    by tests/test_operators.py::test_decontamination_canonical_invariants."""
+    by tests/test_operators.py::test_decontamination_canonical_invariants.
+    Since r08 both passes share ONE signature build + collapse
+    (curation.decontaminate_canonical_lsh): the corpus is signed once and
+    each pass filters the signed frame, halving the fixed overhead the r07
+    verdict flagged (#2) with output identical to the closure shape."""
     from kafka_etl_automation_spark.operators import curation
 
     t = load_tables(spark, sf_dir, names=("documents",))
-    return curation.decontaminate_canonical(
-        t["documents"],
-        keep_pair_source=lambda reps: dedup.minhash_lsh_pairs(
-            reps, n=3, num_hashes=64, bands=32, threshold=0.2,
-            collapse_exact=False, candidate_scope="star",
-        ),
-        contam_pair_source=lambda corpus: dedup.minhash_lsh_pairs(
-            corpus, n=3, num_hashes=64, bands=32, threshold=0.2,
-            bipartite=text.hash_split("text", 90), content_keyed=True,
-        ),
-    )
+    return curation.decontaminate_canonical_lsh(t["documents"])
 
 
 # C4-style cross-document duplicate-span (boilerplate) removal: chop each

@@ -5,7 +5,16 @@ inflated octaves, min-of-two per point, and prints one JSON line per
 (query, octave) plus a trailing summary. Run EXCLUSIVELY (no concurrent
 local[32] JVM) — walls feed BENCH_SCALE.md.
 
-Usage: python tools/dedup_ladder.py DIR [DIR...] [--queries a,b] [--runs 2]
+``--recall DIR`` (VERDICT r07 #4) additionally pins the LSH shapes'
+OBSERVED recall/coverage against their exact twins at a SCALE dir, not
+just the sf0.01 gate where dup families are small: merge-recall for the
+canonical keep-list (fraction of the exact twin's dedup merges achieved)
+and eval-coverage for canonical decontamination (fraction of the exact
+twin's contaminated eval docs reported). Use an octave where the exact
+O(pairs) twins still run (30x); the records land beside the walls.
+
+Usage: python tools/dedup_ladder.py DIR [DIR...] [--queries a,b]
+       [--runs 2] [--recall DIR]
 """
 
 from __future__ import annotations
@@ -24,10 +33,19 @@ def main() -> int:
         i = argv.index("--runs")
         runs = int(argv[i + 1])
         del argv[i : i + 2]
-    qnames = ["ext_dedup_canonical_lsh", "ext_decontamination_lsh"]
+    qnames = [
+        "ext_dedup_canonical_lsh",
+        "ext_decontamination_canonical_lsh",
+        "ext_decontamination_lsh",
+    ]
     if "--queries" in argv:
         i = argv.index("--queries")
         qnames = argv[i + 1].split(",")
+        del argv[i : i + 2]
+    recall_dir = None
+    if "--recall" in argv:
+        i = argv.index("--recall")
+        recall_dir = argv[i + 1]
         del argv[i : i + 2]
     dirs = argv or ["/tmp/sf3.0", "/tmp/sf10.0", "/tmp/sf30.0"]
 
@@ -54,6 +72,59 @@ def main() -> int:
             }
             print(json.dumps(rec), flush=True)
             out.append(rec)
+
+    if recall_dir:
+        from kafka_etl_automation_spark.catalog import load_tables
+
+        docs = load_tables(spark, recall_dir, names=("documents",))["documents"]
+        n_docs = docs.count()
+
+        # merge recall: fraction of the exact twin's (n_docs - n_clusters)
+        # dedup merges the LSH keep-list achieves — same definition as
+        # tests/test_operators.py::test_lsh_recall_floors, at scale SF
+        lsh_k = qs["ext_dedup_canonical_lsh"](spark, recall_dir).count()
+        spark.catalog.clearCache()
+        exact_k = qs["ext_dedup_canonical"](spark, recall_dir).count()
+        spark.catalog.clearCache()
+        merge_recall = (
+            (n_docs - lsh_k) / (n_docs - exact_k) if n_docs > exact_k else 1.0
+        )
+        rec = {
+            "metric": "merge_recall",
+            "sf_dir": recall_dir,
+            "n_docs": n_docs,
+            "keep_lsh": lsh_k,
+            "keep_exact": exact_k,
+            "value": round(merge_recall, 5),
+        }
+        print(json.dumps(rec), flush=True)
+        out.append(rec)
+
+        # eval coverage: fraction of the exact canonical twin's
+        # contaminated eval docs the LSH twin reports
+        lsh_ev = {
+            r.eval_doc_id
+            for r in qs["ext_decontamination_canonical_lsh"](
+                spark, recall_dir
+            ).collect()
+        }
+        spark.catalog.clearCache()
+        exact_ev = {
+            r.eval_doc_id
+            for r in qs["ext_decontamination_canonical"](spark, recall_dir).collect()
+        }
+        spark.catalog.clearCache()
+        cov = len(lsh_ev & exact_ev) / len(exact_ev) if exact_ev else 1.0
+        rec = {
+            "metric": "eval_coverage",
+            "sf_dir": recall_dir,
+            "evals_lsh": len(lsh_ev),
+            "evals_exact": len(exact_ev),
+            "value": round(cov, 5),
+        }
+        print(json.dumps(rec), flush=True)
+        out.append(rec)
+
     print(json.dumps({"ladder": out}))
     return 0
 

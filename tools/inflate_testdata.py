@@ -50,12 +50,20 @@ def main() -> int:
     out = args.pop(0)
     mult = 30
     src = SRC_DEFAULT
+    tables = None
     while args:
         a = args.pop(0)
         if a == "--mult":
             mult = int(args.pop(0))
         elif a == "--src":
             src = args.pop(0)
+        elif a == "--tables":
+            # inflate only these tables (comma-separated) — e.g. a
+            # documents-only 900x octave for the dedup/decontamination
+            # ladder without paying for 1.6B lineitem rows; symlink the
+            # remaining tables from another inflated dir if a query needs
+            # them (the ladder queries load only documents)
+            tables = args.pop(0).split(",")
         else:
             raise SystemExit(f"unknown arg {a}")
 
@@ -130,6 +138,8 @@ def main() -> int:
             FROM '{p['embeddings']}', range({mult}) r(k)""",
     }
     for name, q in sql.items():
+        if tables is not None and name not in tables:
+            continue
         t0 = time.time()
         dest = os.path.join(out, f"{name}.parquet")
         con.execute(f"COPY ({q}) TO '{dest}' (FORMAT PARQUET)")
