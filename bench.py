@@ -55,12 +55,17 @@ BENCH_QUERIES = [
     # CC -> keep-list); its exact twin ext_dedup_canonical stays gate-only
     # with the other quadratic-verifier family members
     "ext_dedup_canonical_lsh",
-    # the deployable decontamination (LSH pair source); the exact
-    # shingle-self-join twin ext_decontamination is gate-only (it spilled
-    # a 100x engine-hash sweep to ENOSPC — quadratic in shingle doc-freq)
-    "ext_decontamination_lsh",
+    # NOT ext_decontamination_lsh: quarantined off the board in r08 after
+    # the 900x-documents octave MEASURED its pair-report contract
+    # un-runnable — 4.94e9 in-bucket cross-label candidates survive the
+    # max_bucket=1000 cap (dup-family buckets sit UNDER the cap while
+    # their cross products grow quadratically; the cap removes only 22%
+    # of the bulk), and the run ENOSPC'd a 250 GB disk. It stays
+    # registered as the gate-SF pair-report verifier, like
+    # ext_decontamination/ext_minhash_lsh. The deployable shape is below.
     # decontaminate against the DEDUPED train corpus (keep-list first) —
-    # the documents-linear contract; exact twin is gate-only
+    # the documents-linear contract, sublinear at FOUR measured octaves
+    # (BENCH_SCALE.md r08); exact twin is gate-only
     "ext_decontamination_canonical_lsh",
     "ext_simhash_pairs",
     "ext_text_stats",
