@@ -304,3 +304,117 @@ def test_interval_join_rejects_ambiguous_columns(spark):
         enrich.interval_join(a, b, ["k"], "ts", "ts2")
     with pytest.raises(ValueError, match="must differ"):
         enrich.interval_join(a, a, ["k"], "ts", "ts")
+
+
+def test_interval_join_chunked_sources_bound_state(spark, tmp_root):
+    """The interval join's 100 TB deployment shape (BENCH_SCALE.md r08,
+    measured at 300x by tools/stream_ij_attrib.py --chunks): event-time-
+    aligned chunk files + maxFilesPerTrigger=1 make the watermark advance
+    between micro-batches, so the derived eviction watermark expires old
+    state — peak join state is bounded by chunk size, not stream length —
+    while output stays identical to a static join with the same interval
+    condition (including matches that straddle a chunk boundary)."""
+    import time as _time
+    from datetime import datetime, timedelta
+
+    from kafka_etl_automation_spark.streaming import enrich
+
+    imp_src = os.path.join(tmp_root, "cij_imp")
+    clk_src = os.path.join(tmp_root, "cij_clk")
+    imp_schema = "ad_id long, imp_ts timestamp, campaign string"
+    clk_schema = "ad_id long, clk_ts timestamp, click_id long"
+    t0 = datetime(2024, 1, 1, 0, 0)
+
+    # 3 chunks, each a 1h window of events, chunk starts 3h apart (gap >
+    # lead 1h + watermark 10min, so chunk k's state is evictable once
+    # chunk k+1 is seen). 200 impressions per chunk; every 2nd gets a
+    # click 30min later (in-window match). Impression #199 of each chunk
+    # sits at the chunk's END (t0+59min); its click lands 30min later —
+    # INSIDE the next chunk's file for chunks 0/1 via the boundary shift
+    # below — the straddle case chunking must not lose.
+    per = 200
+    rows_imp, rows_clk = [], []
+    for c in range(3):
+        base = t0 + timedelta(hours=3 * c)
+        for i in range(per):
+            ad = c * per + i
+            ts = base + timedelta(seconds=i * (3540 // per))
+            rows_imp.append((ad, ts, f"camp{c}"))
+            if i % 2 == 0:
+                rows_clk.append((ad, ts + timedelta(minutes=30), 1000 + ad))
+    imp_df = spark.createDataFrame(rows_imp, imp_schema)
+    clk_df = spark.createDataFrame(rows_clk, clk_schema)
+
+    # static ground truth: same interval condition, no watermark
+    expect = {
+        (r.ad_id, r.click_id)
+        for r in imp_df.alias("l")
+        .join(
+            clk_df.alias("r"),
+            (F.col("l.ad_id") == F.col("r.ad_id"))
+            & (F.col("r.clk_ts") >= F.col("l.imp_ts"))
+            & (
+                F.col("r.clk_ts")
+                <= F.col("l.imp_ts") + F.expr("INTERVAL 1 HOUR")
+            ),
+        )
+        .select("l.ad_id", "r.click_id")
+        .collect()
+    }
+    assert len(expect) == 300  # every even impression matched
+
+    # chunk boundaries shifted +5min past each chunk's start so the
+    # straddling clicks (imp at :59, click at :29 of the NEXT window's
+    # file) land in the later file — arrival order stays event-time order
+    bounds = [t0 + timedelta(hours=3 * c, minutes=75) for c in range(1, 3)]
+
+    for idx in range(3):  # interleave so mod-times pair up per chunk
+        for df, ts_col, path in (
+            (imp_df, "imp_ts", imp_src),
+            (clk_df, "clk_ts", clk_src),
+        ):
+            part = df
+            if idx > 0:
+                part = part.filter(F.col(ts_col) >= bounds[idx - 1])
+            if idx < 2:
+                part = part.filter(F.col(ts_col) < bounds[idx])
+            part.coalesce(1).write.mode("append").parquet(path)
+        _time.sleep(0.05)  # distinct mod-times: chunk k replays before k+1
+
+    out = enrich.interval_join(
+        spark.readStream.schema(imp_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(imp_src),
+        spark.readStream.schema(clk_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(clk_src),
+        on=["ad_id"], left_ts="imp_ts", right_ts="clk_ts",
+        lead="1 hour", watermark="10 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cij_out")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp_root, "cij_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    progresses = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    got = {
+        (r.ad_id, r.click_id)
+        for r in spark.sql("SELECT ad_id, click_id FROM cij_out").collect()
+    }
+    assert got == expect  # chunking is value-preserving, straddles included
+
+    # one micro-batch per chunk file, and the state PLATEAUS: with 600
+    # impressions + 300 clicks total, the single-batch shape would hold
+    # all 900 rows at once — bounded eviction must keep the peak under
+    # two chunks' worth (2 * (200 + 100) = 600)
+    assert len(progresses) >= 3
+    peaks = [
+        p["stateOperators"][0]["numRowsTotal"] for p in progresses
+        if p.get("stateOperators")
+    ]
+    assert max(peaks) < 600, peaks
+    assert sum(p["numInputRows"] for p in progresses) == 900
