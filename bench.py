@@ -67,6 +67,10 @@ BENCH_QUERIES = [
     # the documents-linear contract, sublinear at FOUR measured octaves
     # (BENCH_SCALE.md r08); exact twin is gate-only
     "ext_decontamination_canonical_lsh",
+    # exact 8-gram containment decontamination (GPT-3/PaLM-style passage
+    # overlap): documents-linear, fully oracle-checked at any SF — the
+    # deterministic complement to the Jaccard shapes above
+    "ext_ngram_overlap_decontamination",
     "ext_simhash_pairs",
     "ext_text_stats",
     "ext_quality_score",

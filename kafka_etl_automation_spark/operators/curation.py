@@ -562,3 +562,79 @@ _CORPUS_CACHES: list = []
 # (reps, the signed frame, the pass-2 corpus rows); cap 6 keeps the two
 # most recent calls warm
 _CORPUS_CACHE_CAP = 6
+
+
+def ngram_overlap_decontamination(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_grams: int = 1,
+    train_pct: int = 90,
+) -> DataFrame:
+    """Exact n-gram-overlap decontamination — the published containment
+    contract (GPT-2/3, PaLM, Llama appendices): an eval document is
+    contaminated if it shares >= ``min_grams`` exact word n-grams
+    (n typically 8-13) with ANY train document. Complements the Jaccard
+    family: Jaccard asks "is this eval doc a near-duplicate of some train
+    doc"; n-gram containment asks "does any eval PASSAGE appear verbatim
+    in train" — the leak channel whole-document similarity misses (a quiz
+    question embedded in a long web page).
+
+    Plan (documents-LINEAR, no pair enumeration of any kind):
+
+      1. train gram set: explode each train doc's distinct n-grams, hash
+         each gram to a portable md5-derived 60-bit key (identical
+         arithmetic in any SQL engine, so hash collisions — not that 60
+         bits has meaningful ones — affect engine and oracle identically),
+         global ``distinct`` (map-side combinable, one 8-byte-key shuffle);
+      2. eval grams: same explode over the eval split (~10% of corpus);
+      3. one LEFT join of eval grams against the train gram set, keyed on
+         the 8-byte hash, then a per-eval-doc count aggregation.
+
+    At 100 TB the train gram set is ~corpus-token-count rows of 8 bytes —
+    far too big to broadcast, exactly the keyed shuffle-hash-join shape a
+    cluster is built for; the raw text dies at the scan on both sides.
+    (Production variants trade exactness for a bloom filter over the same
+    hashes when the gram set must fit in worker memory; the contract and
+    this report stay the definition of ground truth.)
+
+    Output: one row per contaminated eval doc — (eval_doc_id, n_grams
+    [distinct grams in the doc], n_overlap [of them, how many appear
+    anywhere in train], overlap_frac). Docs shorter than n tokens carry no
+    grams and cannot be flagged, matching the published contract.
+
+    Reference parity: the cross-layer exact-diff semantics of
+    FACT_AUTOMATION.sh:182-220 (hash-keyed membership of one layer's rows
+    in another), applied at passage granularity.
+    """
+    from kafka_etl_automation_spark.operators.dedup import _exploded_shingles
+
+    split = text.hash_split(text_col, train_pct)
+    gram_key = (
+        F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long").alias("g")
+    )
+    train_grams = (
+        _exploded_shingles(
+            documents.filter(split == "train"), text_col, id_col, n
+        )
+        .select(gram_key)
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    eval_grams = _exploded_shingles(
+        documents.filter(split == "eval"), text_col, id_col, n
+    ).select("id", gram_key)
+    return (
+        eval_grams.join(train_grams, "g", "left")
+        .groupBy(F.col("id").alias("eval_doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_overlap"),
+        )
+        .filter(F.col("n_overlap") >= min_grams)
+        .withColumn(
+            "overlap_frac",
+            (F.col("n_overlap") / F.col("n_grams")).cast("double"),
+        )
+    )

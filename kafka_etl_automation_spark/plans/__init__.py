@@ -66,6 +66,7 @@ _PRIORITY = [
     "ext_decontamination_lsh",
     "ext_decontamination_canonical",
     "ext_decontamination_canonical_lsh",
+    "ext_ngram_overlap_decontamination",
     "ext_source_cap",
     "ext_cdc_apply",
     "ext_incremental_rollup",

@@ -1710,6 +1710,56 @@ def ext_decontamination_canonical_lsh(spark: SparkSession, sf_dir: str) -> DataF
     return curation.decontaminate_canonical_lsh(t["documents"])
 
 
+# Exact 8-gram containment decontamination (the published GPT-3/PaLM-style
+# passage-overlap contract). Gram keys are md5-derived 60-bit ints — the
+# same portable arithmetic in both engines, so the comparison is exact.
+_NGRAM_OVERLAP_ORACLE = f"""
+WITH sp AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS t,
+         CASE WHEN {_BUCKET} < 90 THEN 'train' ELSE 'eval' END AS split
+  FROM documents
+), sh AS (
+  SELECT doc_id, split, unnest(list_distinct(CASE WHEN len(t) >= 8
+    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+          t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]
+          FOR i IN range(1, len(t) - 6)]
+    ELSE [] END)) AS sh
+  FROM sp
+), g AS (
+  SELECT doc_id, split,
+         ('0x' || substring(md5(sh), 1, 15))::BIGINT AS g
+  FROM sh
+), tg AS (
+  SELECT DISTINCT g FROM g WHERE split = 'train'
+)
+SELECT ev.doc_id AS eval_doc_id,
+       COUNT(*) AS n_grams,
+       COUNT(tg.g) AS n_overlap,
+       (COUNT(tg.g)::DOUBLE / COUNT(*)) AS overlap_frac
+FROM (SELECT doc_id, g FROM g WHERE split = 'eval') ev
+LEFT JOIN tg ON ev.g = tg.g
+GROUP BY 1
+HAVING COUNT(tg.g) >= 1
+"""
+
+
+@register("ext_ngram_overlap_decontamination", _NGRAM_OVERLAP_ORACLE)
+def ext_ngram_overlap_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact 8-gram containment decontamination (operators.curation.
+    ngram_overlap_decontamination): an eval doc is contaminated if any of
+    its word 8-grams appears verbatim anywhere in the train split — the
+    passage-leak channel whole-document Jaccard misses. Fully deterministic
+    and documents-linear (gram-set distinct + one keyed LEFT join, no pair
+    enumeration), so unlike the Jaccard family's LSH twins this deployable
+    shape carries its own full SQL oracle at ANY scale."""
+    from kafka_etl_automation_spark.operators import curation
+
+    t = load_tables(spark, sf_dir, names=("documents",))
+    return curation.ngram_overlap_decontamination(t["documents"])
+
+
 # C4-style cross-document duplicate-span (boilerplate) removal: chop each
 # doc into non-overlapping 5-word spans, spans present in >= 2 distinct
 # docs are boilerplate, rebuild clean text from surviving spans in order.

@@ -1249,3 +1249,90 @@ def test_decontamination_canonical_invariants(spark):
         assert len(set(lsh) & set(canon)) / len(canon) >= 0.95, (
             sorted(lsh), sorted(canon),
         )
+
+
+def test_ngram_overlap_decontamination_semantics(spark):
+    """Constructed-corpus pin for the exact 8-gram containment contract:
+    a verbatim >= 8-token passage shared with ANY train doc flags the eval
+    doc (even when whole-doc Jaccard is tiny); an eval doc with no shared
+    8-gram never appears; sub-8-token docs carry no grams; n_grams /
+    n_overlap / overlap_frac are exact counts of the doc's distinct grams.
+    The split column is forced via a monkeypatched-free route: texts are
+    chosen so hash_split puts them where the test needs them — instead we
+    call the OPERATOR with train_pct swept so each doc's bucket is known."""
+    from kafka_etl_automation_spark.operators import curation, text as t_ops
+
+    passage = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    filler_train = " ".join(f"trainword{i}" for i in range(40))
+    filler_eval = " ".join(f"evalword{i}" for i in range(40))
+    clean_eval = " ".join(f"cleanword{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{filler_train} {passage}"),          # train carrier
+            (2, f"{filler_eval} {passage}"),            # eval, leaked passage
+            (3, clean_eval),                            # eval, clean
+            (4, "too short doc"),                       # < 8 tokens
+        ],
+        "doc_id long, text string",
+    )
+    # pin splits deterministically by reading each text's hash bucket and
+    # passing a train_pct that puts doc 1 in train and docs 2-4 in eval
+    buckets = {
+        r.doc_id: r.b
+        for r in docs.select(
+            "doc_id",
+            F.conv(F.substring(F.md5("text"), 1, 8), 16, 10)
+            .cast("long").__mod__(100).alias("b"),
+        ).collect()
+    }
+    # choose train_pct between doc1's bucket (inclusive) and the eval docs'
+    # buckets: needs bucket(1) < train_pct <= min(others). If the synthetic
+    # texts don't land that way, nudge doc texts with a salt suffix.
+    salt = 0
+    while not (
+        buckets[1] < min(buckets[2], buckets[3], buckets[4])
+    ):
+        salt += 1
+        docs = spark.createDataFrame(
+            [
+                (1, f"{filler_train} {passage} salt{salt}"),
+                (2, f"{filler_eval} {passage}"),
+                (3, clean_eval),
+                (4, "too short doc"),
+            ],
+            "doc_id long, text string",
+        )
+        buckets = {
+            r.doc_id: r.b
+            for r in docs.select(
+                "doc_id",
+                F.conv(F.substring(F.md5("text"), 1, 8), 16, 10)
+                .cast("long").__mod__(100).alias("b"),
+            ).collect()
+        }
+        assert salt < 50, "could not construct split assignment"
+    train_pct = buckets[1] + 1
+
+    out = {
+        r.eval_doc_id: r
+        for r in curation.ngram_overlap_decontamination(
+            docs, n=8, train_pct=train_pct
+        ).collect()
+    }
+    # doc 2 flagged via the verbatim passage; docs 3 (clean) and 4 (short)
+    # absent; doc 1 is train so never reported
+    assert set(out) == {2}
+    row = out[2]
+    # doc 2 has 48 tokens -> 41 distinct 8-grams; exactly the 1 gram fully
+    # inside the passage is shared (filler differs on every other gram)
+    assert row.n_grams == 41
+    assert row.n_overlap == 1
+    assert abs(row.overlap_frac - 1 / 41) < 1e-12
+
+    # min_grams gate: requiring 2 shared grams clears the report
+    assert (
+        curation.ngram_overlap_decontamination(
+            docs, n=8, train_pct=train_pct, min_grams=2
+        ).count()
+        == 0
+    )
