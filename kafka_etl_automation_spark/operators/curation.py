@@ -607,24 +607,64 @@ def ngram_overlap_decontamination(
     Reference parity: the cross-layer exact-diff semantics of
     FACT_AUTOMATION.sh:182-220 (hash-keyed membership of one layer's rows
     in another), applied at passage granularity.
+
+    Gram construction is codegen-only (slice + arrays_zip + array_distinct
+    build the token tuples as native array expressions; md5/conv runs
+    post-explode inside whole-stage codegen) — NOT the transform()-lambda
+    shingle path, whose per-gram interpreted evaluation (see
+    winnowing_fingerprints' profiling note) measured 587s of engine wall
+    at the 300x octave for this query; this formulation produces the
+    identical distinct gram-string set per document.
     """
-    from kafka_etl_automation_spark.operators.dedup import _exploded_shingles
+    from kafka_etl_automation_spark.operators.dedup import (
+        _fanout_rebalance,
+        tokens,
+    )
 
     split = text.hash_split(text_col, train_pct)
-    gram_key = (
-        F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long").alias("g")
-    )
-    train_grams = (
-        _exploded_shingles(
-            documents.filter(split == "train"), text_col, id_col, n
+
+    def gram_keys(df: DataFrame) -> DataFrame:
+        toks = tokens(text_col)
+        m = F.size(toks) - (n - 1)
+        base = (
+            _fanout_rebalance(df)
+            .select(F.col(id_col).alias("id"), toks.alias("tk"), m.alias("m"))
+            .filter(F.col("m") >= 1)
         )
-        .select(gram_key)
+        z = F.arrays_zip(
+            *[
+                F.slice("tk", i + 1, F.col("m")).alias(f"t{i}")
+                for i in range(n)
+            ]
+        )
+        return base.select(
+            "id", F.explode(F.array_distinct(z)).alias("s")
+        ).select(
+            "id",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ", *[F.col("s")[f"t{i}"] for i in range(n)]
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("g"),
+        )
+
+    train_grams = (
+        gram_keys(documents.filter(split == "train"))
+        .select("g")
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    eval_grams = _exploded_shingles(
-        documents.filter(split == "eval"), text_col, id_col, n
-    ).select("id", gram_key)
+    eval_grams = gram_keys(documents.filter(split == "eval"))
     return (
         eval_grams.join(train_grams, "g", "left")
         .groupBy(F.col("id").alias("eval_doc_id"))
