@@ -176,26 +176,41 @@ def _shingle_hash_rows(
 
     Why: HOF expressions (transform/element_at lambdas) are interpreted,
     not whole-stage-codegen'd — profiling showed ~25µs per shingle, 14s
-    for a 5k-doc corpus, dominating the minhash pipeline. posexplode,
-    lead() and xxhash64 are all scalar codegen paths; the same corpus
-    hashes in well under a second. Costs one (id)-keyed shuffle+sort for
-    the window, which downstream per-id aggregations then reuse
-    (hash-partitioning on id is already satisfied — no second exchange).
+    for a 5k-doc corpus, dominating the minhash pipeline. slice,
+    arrays_zip, explode and xxhash64 are all native codegen paths; the
+    same corpus hashes in well under a second.
 
-    Duplicate shingles are RETAINED (min/collect_set downstream are
-    duplicate-insensitive); docs with fewer than n tokens emit no rows,
-    matching shingle_hashes' empty-array semantics.
+    r08: the first codegen formulation here was posexplode + window
+    leads, which paid one (id)-keyed shuffle AND a per-id sort to line
+    the tokens up BEFORE the per-doc aggregations could partially
+    aggregate — the full token stream rode that exchange. slice +
+    arrays_zip build the same token tuples as pure array expressions in
+    the SCAN stage, so the explode needs NO exchange at all and the
+    downstream groupBy("id") partial-aggregates map-side: what reaches
+    the one remaining shuffle is per-(doc, map-partition) combine output
+    (64 mins and/or a set partial per doc), not every token. Same values
+    row-for-row (xxhash64 over the same n token columns; duplicates
+    retained — min/collect_set downstream are duplicate-insensitive);
+    docs with fewer than n tokens emit no rows, matching shingle_hashes'
+    empty-array semantics. Equality with the window-lead formulation is
+    pinned by tests/test_operators.py::test_shingle_hash_rows_formulations.
     """
-    from pyspark.sql import Window
-
-    ex = _fanout_rebalance(df).select(
-        F.col(id_col).alias("id"), F.posexplode(tokens(text_col)).alias("pos", "t0")
+    toks = tokens(text_col)
+    base = (
+        _fanout_rebalance(df)
+        .select(
+            F.col(id_col).alias("id"),
+            toks.alias("tk"),
+            (F.size(toks) - (n - 1)).alias("m"),
+        )
+        .filter(F.col("m") >= 1)
     )
-    w = Window.partitionBy("id").orderBy("pos")
-    lead_cols = [F.lead("t0", k).over(w).alias(f"t{k}") for k in range(1, n)]
-    sel = ex.select("id", "t0", *lead_cols)
-    return sel.filter(F.col(f"t{n - 1}").isNotNull()).select(
-        "id", F.xxhash64(*[F.col(f"t{k}") for k in range(n)]).alias("sh")
+    z = F.arrays_zip(
+        *[F.slice("tk", i + 1, F.col("m")).alias(f"t{i}") for i in range(n)]
+    )
+    return base.select("id", F.explode(z).alias("s")).select(
+        "id",
+        F.xxhash64(*[F.col("s")[f"t{k}"] for k in range(n)]).alias("sh"),
     )
 
 
@@ -218,9 +233,8 @@ def minhash_signatures(
     fraction of the string-building cost. The whole pipeline stays in
     scalar whole-stage codegen (see _shingle_hash_rows for why the
     higher-order-function formulation was abandoned); the k mins aggregate
-    map-side, so the one shuffle carries one row per document and reuses
-    the window's (id) partitioning. Documents with no shingle (< n tokens)
-    are dropped."""
+    map-side, so the one shuffle carries per-doc combine output, not the
+    token stream. Documents with no shingle (< n tokens) are dropped."""
     rows = _shingle_hash_rows(df, text_col, id_col, n)
     return rows.groupBy("id").agg(
         *[

@@ -1336,3 +1336,54 @@ def test_ngram_overlap_decontamination_semantics(spark):
         ).count()
         == 0
     )
+
+
+def test_shingle_hash_rows_formulations(spark):
+    """The zero-exchange slice+arrays_zip shingle-hash build (r08) must be
+    row-multiset-identical to the posexplode + window-lead formulation it
+    replaced (whose own equality to the original HOF transform() path was
+    verified when IT landed) — on the real gate corpus, duplicates and
+    short docs included."""
+    from pyspark.sql import Window
+
+    from kafka_etl_automation_spark.operators import dedup
+    from kafka_etl_automation_spark.catalog import load_tables
+
+    docs = load_tables(spark, SF_SMALL, names=("documents",))["documents"]
+    # add adversarial rows: exact-duplicate shingles, sub-n docs, empties
+    extra = spark.createDataFrame(
+        [
+            (90001, "a b a b a b a b"),   # duplicate shingles retained
+            (90002, "one two"),            # < n tokens -> no rows
+            (90003, ""),                    # empty
+        ],
+        "doc_id long, text string",
+    )
+    docs = docs.select("doc_id", "text").unionByName(extra)
+    n = 3
+
+    got = dedup._shingle_hash_rows(docs, "text", "doc_id", n)
+
+    ex = docs.select(
+        F.col("doc_id").alias("id"),
+        F.posexplode(dedup.tokens("text")).alias("pos", "t0"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    lead_cols = [F.lead("t0", k).over(w).alias(f"t{k}") for k in range(1, n)]
+    ref = (
+        ex.select("id", "t0", *lead_cols)
+        .filter(F.col(f"t{n - 1}").isNotNull())
+        .select("id", F.xxhash64(*[F.col(f"t{k}") for k in range(n)]).alias("sh"))
+    )
+
+    def multiset(df):
+        return {
+            (r.id, r.sh, r.c)
+            for r in df.groupBy("id", "sh").agg(F.count("*").alias("c")).collect()
+        }
+
+    assert multiset(got) == multiset(ref)
+    # the duplicate-shingle doc keeps its multiplicities
+    dup_rows = got.filter(F.col("id") == 90001).groupBy("sh").count().collect()
+    assert sorted(r["count"] for r in dup_rows) == [3, 3]  # "a b a" x3, "b a b" x3
+    assert got.filter(F.col("id").isin(90002, 90003)).count() == 0
