@@ -608,52 +608,23 @@ def ngram_overlap_decontamination(
     FACT_AUTOMATION.sh:182-220 (hash-keyed membership of one layer's rows
     in another), applied at passage granularity.
 
-    Gram construction is codegen-only (slice + arrays_zip + array_distinct
-    build the token tuples as native array expressions; md5/conv runs
-    post-explode inside whole-stage codegen) — NOT the transform()-lambda
-    shingle path, whose per-gram interpreted evaluation (see
-    winnowing_fingerprints' profiling note) measured 587s of engine wall
-    at the 300x octave for this query; this formulation produces the
-    identical distinct gram-string set per document.
+    Gram construction rides dedup._exploded_shingles' codegen-only path
+    (slice + arrays_zip + array_distinct build the token tuples as native
+    array expressions; the string + md5 key run post-explode inside
+    whole-stage codegen) — NOT a transform()-lambda shingle build, whose
+    per-gram interpreted evaluation (see winnowing_fingerprints'
+    profiling note) measured 587s of engine wall at the 300x octave for
+    this query before the codegen formulation landed (40.7s after,
+    identical digests).
     """
-    from kafka_etl_automation_spark.operators.dedup import (
-        _fanout_rebalance,
-        tokens,
-    )
+    from kafka_etl_automation_spark.operators.dedup import _exploded_shingles
 
     split = text.hash_split(text_col, train_pct)
 
     def gram_keys(df: DataFrame) -> DataFrame:
-        toks = tokens(text_col)
-        m = F.size(toks) - (n - 1)
-        base = (
-            _fanout_rebalance(df)
-            .select(F.col(id_col).alias("id"), toks.alias("tk"), m.alias("m"))
-            .filter(F.col("m") >= 1)
-        )
-        z = F.arrays_zip(
-            *[
-                F.slice("tk", i + 1, F.col("m")).alias(f"t{i}")
-                for i in range(n)
-            ]
-        )
-        return base.select(
-            "id", F.explode(F.array_distinct(z)).alias("s")
-        ).select(
+        return _exploded_shingles(df, text_col, id_col, n).select(
             "id",
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            " ", *[F.col("s")[f"t{i}"] for i in range(n)]
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            )
+            F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10)
             .cast("long")
             .alias("g"),
         )

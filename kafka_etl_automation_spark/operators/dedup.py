@@ -120,8 +120,35 @@ def _fanout_rebalance(df: DataFrame) -> DataFrame:
 
 
 def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    return _fanout_rebalance(df).select(
-        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("sh")
+    """(id, sh): each document's DISTINCT n-gram shingle strings, one row
+    per shingle — the exploded form of ``shingles()`` with the identical
+    value set, built without the higher-order transform() lambda: slice +
+    arrays_zip assemble the token tuples as native codegen array
+    expressions, array_distinct dedups the tuples in-array (distinct
+    structs == distinct gram strings: tokens carry no spaces, so the
+    space-join is bijective), and the string is concatenated POST-explode
+    inside whole-stage codegen. Interpreted HOF lambdas cost ~25µs per
+    gram (see winnowing_fingerprints / _shingle_hash_rows); this path
+    feeds the exact-Jaccard verifiers whose gram volume is corpus-sized.
+    Zero exchange: explode never splits a document across partitions.
+    Equality with shingles() is pinned by
+    tests/test_operators.py::test_exploded_shingles_matches_shingles."""
+    toks = tokens(text_col)
+    base = (
+        _fanout_rebalance(df)
+        .select(
+            F.col(id_col).alias("id"),
+            toks.alias("tk"),
+            (F.size(toks) - (n - 1)).alias("m"),
+        )
+        .filter(F.col("m") >= 1)
+    )
+    z = F.arrays_zip(
+        *[F.slice("tk", i + 1, F.col("m")).alias(f"t{i}") for i in range(n)]
+    )
+    return base.select("id", F.explode(F.array_distinct(z)).alias("s")).select(
+        "id",
+        F.concat_ws(" ", *[F.col("s")[f"t{k}"] for k in range(n)]).alias("sh"),
     )
 
 

@@ -1387,3 +1387,39 @@ def test_shingle_hash_rows_formulations(spark):
     dup_rows = got.filter(F.col("id") == 90001).groupBy("sh").count().collect()
     assert sorted(r["count"] for r in dup_rows) == [3, 3]  # "a b a" x3, "b a b" x3
     assert got.filter(F.col("id").isin(90002, 90003)).count() == 0
+
+
+def test_exploded_shingles_matches_shingles(spark):
+    """The zero-exchange _exploded_shingles (slice + arrays_zip +
+    array_distinct, r08) must equal explode(shingles()) — the HOF
+    reference it replaced — per (id, shingle) set on the gate corpus plus
+    adversarial duplicate/short/empty docs."""
+    from kafka_etl_automation_spark.operators import dedup
+    from kafka_etl_automation_spark.catalog import load_tables
+
+    docs = load_tables(spark, SF_SMALL, names=("documents",))["documents"]
+    extra = spark.createDataFrame(
+        [
+            (90001, "a b a b a b a b"),  # dup shingles -> distinct set
+            (90002, "one two"),
+            (90003, ""),
+        ],
+        "doc_id long, text string",
+    )
+    docs = docs.select("doc_id", "text").unionByName(extra)
+    n = 3
+
+    got = {
+        (r.id, r.sh)
+        for r in dedup._exploded_shingles(docs, "text", "doc_id", n).collect()
+    }
+    ref = {
+        (r.id, r.sh)
+        for r in docs.select(
+            F.col("doc_id").alias("id"),
+            F.explode(dedup.shingles("text", n)).alias("sh"),
+        ).collect()
+    }
+    assert got == ref
+    assert (90001, "a b a") in got and (90001, "b a b") in got
+    assert len([1 for i, _ in got if i == 90001]) == 2  # distinct, not 6
