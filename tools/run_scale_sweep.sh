@@ -39,6 +39,16 @@ CHUNK=${CHUNK:-20}
 export CHECK_DUCK_MEM=${CHECK_DUCK_MEM:-24GB}
 export CHECK_DUCK_THREADS=${CHECK_DUCK_THREADS:-16}
 
+# The jemalloc "bad allocation" failure class this script chunks around is
+# mapping-count exhaustion, not RAM (r08 measured a chunk dying mid-run at
+# the kernel's default 65530 with >100 GB free). Warn loudly up front.
+MAPS=$(cat /proc/sys/vm/max_map_count 2>/dev/null || echo 0)
+if [ "$MAPS" -lt 262144 ]; then
+  echo "WARNING: vm.max_map_count=$MAPS is low; heavy-oracle chunks can die" >&2
+  echo "  with 'Failed to allocate block of N bytes (bad allocation)'." >&2
+  echo "  Raise it for this host session:  sysctl -w vm.max_map_count=1048576" >&2
+fi
+
 if [ -n "$LIST_FILE" ]; then
   ALL=$(cat "$LIST_FILE")
 else
