@@ -198,29 +198,39 @@ def _shingle_hash_rows(
 ) -> DataFrame:
     """(id, sh): one row per n-gram occurrence, sh = xxhash64 over the n
     token columns — bit-identical to shingle_hashes() elements (verified
-    by a full-corpus set comparison when this path landed) but built from
-    posexplode + window leads instead of a higher-order transform.
+    by a full-corpus set comparison when this path landed) but built
+    entirely from native codegen expressions, zero exchange.
 
-    Why: HOF expressions (transform/element_at lambdas) are interpreted,
-    not whole-stage-codegen'd — profiling showed ~25µs per shingle, 14s
-    for a 5k-doc corpus, dominating the minhash pipeline. slice,
-    arrays_zip, explode and xxhash64 are all native codegen paths; the
-    same corpus hashes in well under a second.
+    Why not HOF: transform/element_at lambdas are interpreted, not
+    whole-stage-codegen'd — profiling showed ~25µs per shingle, 14s for
+    a 5k-doc corpus, dominating the minhash pipeline.
 
-    r08: the first codegen formulation here was posexplode + window
-    leads, which paid one (id)-keyed shuffle AND a per-id sort to line
-    the tokens up BEFORE the per-doc aggregations could partially
-    aggregate — the full token stream rode that exchange. slice +
-    arrays_zip build the same token tuples as pure array expressions in
-    the SCAN stage, so the explode needs NO exchange at all and the
-    downstream groupBy("id") partial-aggregates map-side: what reaches
-    the one remaining shuffle is per-(doc, map-partition) combine output
-    (64 mins and/or a set partial per doc), not every token. Same values
-    row-for-row (xxhash64 over the same n token columns; duplicates
-    retained — min/collect_set downstream are duplicate-insensitive);
-    docs with fewer than n tokens emit no rows, matching shingle_hashes'
-    empty-array semantics. Equality with the window-lead formulation is
-    pinned by tests/test_operators.py::test_shingle_hash_rows_formulations.
+    Formulation history (all three value-identical, pinned by
+    tests/test_operators.py::test_shingle_hash_rows_formulations):
+    - r07: posexplode + window leads — paid one (id)-keyed shuffle AND a
+      per-id sort to line the tokens up; the full token stream rode that
+      exchange.
+    - r08: slice x n + arrays_zip — zero exchange (the explode never
+      splits a document across partitions, so groupBy("id") partial-
+      aggregates map-side), but it copied the token array n times and
+      built a struct array per document BEFORE the explode; that
+      array-build constant cost ~26% at bench SF even though it beat
+      the r07 shuffle at the octaves.
+    - r09 (shipped): explode(sequence(1, m)) + element_at(tk, p+k) —
+      zero exchange AND zero copies: in whole-stage codegen the Generate
+      keeps `tk` as a per-input-row variable, so each exploded position
+      indexes the ORIGINAL token array; the only array built per doc is
+      a cheap long sequence. Same-day A/B (min-of-two, noop sink, full
+      64-min signature aggregation downstream): sf0.1 lead-window
+      0.975s / slice+zip 1.182s / this 0.982s; 300x octave 11.34s /
+      9.26s / 9.09s — dominant at both ends. The cost relation is also
+      pinned by the shingle-formulation rows in tools/stage_bench.py so
+      a future swap can't regress silently.
+
+    Same values row-for-row (xxhash64 over the same n token columns;
+    duplicates retained — min/collect_set downstream are duplicate-
+    insensitive); docs with fewer than n tokens emit no rows, matching
+    shingle_hashes' empty-array semantics.
     """
     toks = tokens(text_col)
     base = (
@@ -232,12 +242,13 @@ def _shingle_hash_rows(
         )
         .filter(F.col("m") >= 1)
     )
-    z = F.arrays_zip(
-        *[F.slice("tk", i + 1, F.col("m")).alias(f"t{i}") for i in range(n)]
-    )
-    return base.select("id", F.explode(z).alias("s")).select(
+    return base.select(
+        "id", "tk", F.explode(F.sequence(F.lit(1), F.col("m"))).alias("p")
+    ).select(
         "id",
-        F.xxhash64(*[F.col("s")[f"t{k}"] for k in range(n)]).alias("sh"),
+        F.xxhash64(
+            *[F.element_at("tk", (F.col("p") + k).cast("int")) for k in range(n)]
+        ).alias("sh"),
     )
 
 

@@ -1339,11 +1339,12 @@ def test_ngram_overlap_decontamination_semantics(spark):
 
 
 def test_shingle_hash_rows_formulations(spark):
-    """The zero-exchange slice+arrays_zip shingle-hash build (r08) must be
-    row-multiset-identical to the posexplode + window-lead formulation it
-    replaced (whose own equality to the original HOF transform() path was
-    verified when IT landed) — on the real gate corpus, duplicates and
-    short docs included."""
+    """The shipped zero-exchange zero-copy shingle-hash build (r09:
+    explode(sequence) + element_at) must be row-multiset-identical to
+    BOTH superseded formulations — the r07 posexplode + window-lead
+    shape (whose own equality to the original HOF transform() path was
+    verified when IT landed) and the r08 slice + arrays_zip shape — on
+    the real gate corpus, duplicates and short docs included."""
     from pyspark.sql import Window
 
     from kafka_etl_automation_spark.operators import dedup
@@ -1376,13 +1377,30 @@ def test_shingle_hash_rows_formulations(spark):
         .select("id", F.xxhash64(*[F.col(f"t{k}") for k in range(n)]).alias("sh"))
     )
 
+    # the superseded r08 slice + arrays_zip formulation
+    toks = dedup.tokens("text")
+    base = docs.select(
+        F.col("doc_id").alias("id"),
+        toks.alias("tk"),
+        (F.size(toks) - (n - 1)).alias("m"),
+    ).filter(F.col("m") >= 1)
+    z = F.arrays_zip(
+        *[F.slice("tk", i + 1, F.col("m")).alias(f"t{i}") for i in range(n)]
+    )
+    ref_zip = base.select("id", F.explode(z).alias("s")).select(
+        "id",
+        F.xxhash64(*[F.col("s")[f"t{k}"] for k in range(n)]).alias("sh"),
+    )
+
     def multiset(df):
         return {
             (r.id, r.sh, r.c)
             for r in df.groupBy("id", "sh").agg(F.count("*").alias("c")).collect()
         }
 
-    assert multiset(got) == multiset(ref)
+    got_ms = multiset(got)
+    assert got_ms == multiset(ref)
+    assert got_ms == multiset(ref_zip)
     # the duplicate-shingle doc keeps its multiplicities
     dup_rows = got.filter(F.col("id") == 90001).groupBy("sh").count().collect()
     assert sorted(r["count"] for r in dup_rows) == [3, 3]  # "a b a" x3, "b a b" x3

@@ -14,7 +14,16 @@ scan vs projection vs shuffle instead of guessing from totals:
   per-(type,user) distinct shuffle;
 - ext_text_stats: raw documents scan  vs  the full stats projection —
   isolates whether a drift in the bench reading is the parquet scan or
-  the split/array expression work (r04's 0.7s->3.5s question).
+  the split/array expression work (r04's 0.7s->3.5s question);
+- ext_minhash_lsh shingle-hash formulation COST pin (VERDICT r08 #1):
+  the three value-identical _shingle_hash_rows formulations (r07
+  posexplode + window lead; r08 slice x n + arrays_zip; r09 shipped
+  explode(sequence) + element_at) each timed through the full 64-min
+  signature aggregation. The shipped row must not read slower than
+  either superseded formulation beyond run noise — a future swap that
+  regresses the constant shows up here, not in a driver delta three
+  rounds later. Value equality is pinned separately by
+  tests/test_operators.py::test_shingle_hash_rows_formulations.
 
 Usage: python tools/stage_bench.py [SF_DIR ...]
   (default: $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1)
@@ -36,9 +45,12 @@ sys.path.insert(
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from pyspark.sql import Window  # noqa: E402
+
 from kafka_etl_automation_spark.catalog import load_tables  # noqa: E402
 from kafka_etl_automation_spark.operators import (  # noqa: E402
     curation,
+    dedup,
     text,
 )
 from kafka_etl_automation_spark.session import get_spark  # noqa: E402
@@ -57,6 +69,77 @@ def _time(spark, fn) -> float:
         best = min(best, time.time() - t0)
         spark.catalog.clearCache()
     return round(best, 3)
+
+
+def _shingle_formulation_rows(docs) -> list[dict]:
+    """COST pin for _shingle_hash_rows (VERDICT r08 #1): time the three
+    value-identical formulations through the full minhash signature
+    aggregation. The shipped one must be fastest-or-tied; a formulation
+    swap that regresses the constant shows up in this table immediately
+    instead of as an unexplained driver delta next round. Value equality
+    is pinned by test_shingle_hash_rows_formulations."""
+    n, num_hashes = 3, 64
+    d = docs.select("doc_id", "text")
+
+    def leadwin():
+        ex = d.select(
+            F.col("doc_id").alias("id"),
+            F.posexplode(dedup.tokens("text")).alias("pos", "t0"),
+        )
+        w = Window.partitionBy("id").orderBy("pos")
+        leads = [F.lead("t0", k).over(w).alias(f"t{k}") for k in range(1, n)]
+        return (
+            ex.select("id", "t0", *leads)
+            .filter(F.col(f"t{n - 1}").isNotNull())
+            .select(
+                "id",
+                F.xxhash64(*[F.col(f"t{k}") for k in range(n)]).alias("sh"),
+            )
+        )
+
+    def slicezip():
+        toks = dedup.tokens("text")
+        base = d.select(
+            F.col("doc_id").alias("id"),
+            toks.alias("tk"),
+            (F.size(toks) - (n - 1)).alias("m"),
+        ).filter(F.col("m") >= 1)
+        z = F.arrays_zip(
+            *[F.slice("tk", i + 1, F.col("m")).alias(f"t{i}") for i in range(n)]
+        )
+        return base.select("id", F.explode(z).alias("s")).select(
+            "id",
+            F.xxhash64(*[F.col("s")[f"t{k}"] for k in range(n)]).alias("sh"),
+        )
+
+    def shipped():
+        return dedup._shingle_hash_rows(d, "text", "doc_id", n)
+
+    def sigs(fn):
+        return lambda: fn().groupBy("id").agg(
+            *[
+                F.min(F.xxhash64(F.lit(j), F.col("sh"))).alias(f"mh{j}")
+                for j in range(num_hashes)
+            ]
+        )
+
+    return [
+        {
+            "query": "ext_minhash_lsh",
+            "stage": "signatures, r07 posexplode + window-lead",
+            "fn": sigs(leadwin),
+        },
+        {
+            "query": "ext_minhash_lsh",
+            "stage": "signatures, r08 slice + arrays_zip",
+            "fn": sigs(slicezip),
+        },
+        {
+            "query": "ext_minhash_lsh",
+            "stage": "signatures, SHIPPED explode(sequence)+element_at",
+            "fn": sigs(shipped),
+        },
+    ]
 
 
 def stages_for(spark, sf_dir: str) -> list[dict]:
@@ -119,6 +202,7 @@ def stages_for(spark, sf_dir: str) -> list[dict]:
             "fn": lambda: text.text_stats(docs),
         },
     ]
+    rows.extend(_shingle_formulation_rows(docs))
     for r in rows:
         r["sec"] = _time(spark, r.pop("fn"))
     return rows
