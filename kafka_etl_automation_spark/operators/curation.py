@@ -269,7 +269,6 @@ def cross_split_contamination(
     text_col: str = "text",
     id_col: str = "doc_id",
     train_pct: int = 90,
-    splits: DataFrame | None = None,
 ) -> DataFrame:
     """Decontamination report: eval documents sharing a near-duplicate
     relation with ANY train document. Exact duplicates can never cross the
@@ -278,17 +277,14 @@ def cross_split_contamination(
     dup pair frame (exact n-gram Jaccard as verifier, minhash-LSH at
     scale). One keyed join of the pair list against the split projection;
     output one row per contaminated eval doc with its worst train match.
-
-    ``splits``: optional precomputed (sid, split) projection. Callers that
-    already know each doc's split (decontaminate_canonical_lsh derives it
-    from the shared signed frame) pass it to skip the text re-scan;
-    ``documents`` is then unused and may be None.
+    (decontaminate_canonical_lsh does NOT route through here: its report
+    aggregates at canonical-representative level before member fan-out,
+    a different shape built inline there.)
     """
-    if splits is None:
-        splits = documents.select(
-            F.col(id_col).alias("sid"),
-            text.hash_split(text_col, train_pct).alias("split"),
-        )
+    splits = documents.select(
+        F.col(id_col).alias("sid"),
+        text.hash_split(text_col, train_pct).alias("split"),
+    )
     tagged = (
         pairs.join(
             splits.withColumnRenamed("sid", "id_a").withColumnRenamed(
@@ -368,8 +364,6 @@ def decontaminate_canonical(
     """
     from kafka_etl_automation_spark.operators import dedup
 
-    from pyspark import StorageLevel
-
     split = text.hash_split(text_col, train_pct)
     train = documents.filter(split == "train")
     keeps = dedup.canonical_keep_list(
@@ -390,13 +384,7 @@ def decontaminate_canonical(
     # minhash_lsh_pairs already persists. Same bounded-FIFO lifecycle as
     # dedup's collapse caches (ADVICE r05): evicted frames stay correct,
     # they just recompute on the next action.
-    while len(_CORPUS_CACHES) >= _CORPUS_CACHE_CAP:
-        try:
-            _CORPUS_CACHES.pop(0).unpersist(False)
-        except Exception:
-            pass
-    corpus = kept.unionByName(evals).persist(StorageLevel.MEMORY_AND_DISK)
-    _CORPUS_CACHES.append(corpus)
+    corpus = _cache_persisted(kept.unionByName(evals))
     if contam_pair_source is None:
         pairs = dedup.ngram_jaccard_pairs(corpus, text_col, id_col, n, threshold)
     else:
@@ -451,29 +439,22 @@ def decontaminate_canonical_lsh(
     """
     from kafka_etl_automation_spark.operators import dedup
 
-    from pyspark import StorageLevel
-
     split = text.hash_split(text_col, train_pct)
     reps, members = dedup._exact_text_collapse(documents, text_col, id_col)
     # One signed frame for everything downstream. The label join costs one
     # narrow (id, label) scan of reps — cheap next to the shingle pass the
-    # sharing removes. Same bounded-FIFO lifecycle as the corpus caches.
-    while len(_CORPUS_CACHES) >= _CORPUS_CACHE_CAP:
-        try:
-            _CORPUS_CACHES.pop(0).unpersist(False)
-        except Exception:
-            pass
+    # sharing removes. Same bounded-FIFO lifecycle as the corpus caches;
+    # _cache_persisted evicts before EACH append so the live set never
+    # exceeds the cap mid-call (ADVICE r08).
     # reps feeds the signature build AND the label projection — persisted,
     # or the collapse group-agg re-executes per reference (the same lesson
     # the r07 ladder taught for the corpus frame)
-    reps = reps.persist(StorageLevel.MEMORY_AND_DISK)
-    _CORPUS_CACHES.append(reps)
-    sig = (
-        dedup.signature_sets(reps, text_col, id_col, n, num_hashes)
-        .join(reps.select(F.col(id_col).alias("id"), split.alias("_lbl")), "id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    reps = _cache_persisted(reps)
+    sig = _cache_persisted(
+        dedup.signature_sets(reps, text_col, id_col, n, num_hashes).join(
+            reps.select(F.col(id_col).alias("id"), split.alias("_lbl")), "id"
+        )
     )
-    _CORPUS_CACHES.append(sig)
 
     # Pass 1: star-scope keep-list over the train rows of the signed frame
     train_sig = sig.filter(F.col("_lbl") == "train")
@@ -498,12 +479,11 @@ def decontaminate_canonical_lsh(
     # sides — without it each reference re-runs the semi join + union over
     # the cached signed frame (3x the corpus-wide semi-join shuffle at
     # scale).
-    corpus_sig = (
-        sig.join(kept_ids, "id", "semi")
-        .unionByName(sig.filter(F.col("_lbl") == "eval"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    corpus_sig = _cache_persisted(
+        sig.join(kept_ids, "id", "semi").unionByName(
+            sig.filter(F.col("_lbl") == "eval")
+        )
     )
-    _CORPUS_CACHES.append(corpus_sig)
     rep_pairs = dedup.minhash_lsh_pairs(
         None,
         n=n,
@@ -562,6 +542,25 @@ _CORPUS_CACHES: list = []
 # (reps, the signed frame, the pass-2 corpus rows); cap 6 keeps the two
 # most recent calls warm
 _CORPUS_CACHE_CAP = 6
+
+
+def _cache_persisted(frame: DataFrame) -> DataFrame:
+    """Persist ``frame`` (MEMORY_AND_DISK) into the bounded-FIFO corpus
+    cache, evicting oldest-first BEFORE appending so the live set never
+    exceeds _CORPUS_CACHE_CAP — evicting only once per call let the cache
+    transiently hold cap+2 frames while a multi-append caller ran (ADVICE
+    r08). Evicted frames stay correct; they just recompute on next action.
+    """
+    from pyspark import StorageLevel
+
+    while len(_CORPUS_CACHES) >= _CORPUS_CACHE_CAP:
+        try:
+            _CORPUS_CACHES.pop(0).unpersist(False)
+        except Exception:
+            pass
+    out = frame.persist(StorageLevel.MEMORY_AND_DISK)
+    _CORPUS_CACHES.append(out)
+    return out
 
 
 def ngram_overlap_decontamination(

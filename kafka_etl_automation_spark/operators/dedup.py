@@ -603,6 +603,23 @@ def minhash_lsh_pairs(
     # sig_source's persistence (it is typically a filter over one
     # persisted signed frame feeding several passes).
     if sig_source is not None:
+        # Fail fast on a mis-built shared frame (ADVICE r08): a sig_source
+        # carrying MORE mh columns than num_hashes would silently band
+        # over a subset (changed recall, no error), and a missing `sh`
+        # column only surfaces deep in the verification join.
+        cols = set(sig_source.columns)
+        missing = {"id", "sh", *(f"mh{j}" for j in range(num_hashes))} - cols
+        if missing:
+            raise ValueError(
+                f"sig_source is missing columns {sorted(missing)}; expected "
+                f"the signature_sets schema for num_hashes={num_hashes}"
+            )
+        if f"mh{num_hashes}" in cols:
+            raise ValueError(
+                f"sig_source carries mh{num_hashes}+ columns — it was built "
+                f"with more hashes than num_hashes={num_hashes}; banding "
+                "over a subset would silently change recall"
+            )
         src = sig_source
     else:
         src = signature_sets(df, text_col, id_col, n, num_hashes).persist(

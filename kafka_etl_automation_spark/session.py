@@ -52,4 +52,18 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Derby (bundled with pyspark; used by the embedded-JDBC tests and a
+    # Hive metastore if one is ever enabled) writes derby.log at CWD the
+    # first time it boots unless told otherwise — point its error stream
+    # at tmp BEFORE any connection can boot it, so a stray derby.log never
+    # lands in the repo (VERDICT r08 housekeeping #3). Reads the property
+    # at engine boot, so setting it on an already-running JVM is safe as
+    # long as no Derby connection has been opened yet; tests that care
+    # about the db location still override derby.system.home themselves.
+    try:
+        jsys = spark.sparkContext._jvm.java.lang.System
+        if jsys.getProperty("derby.stream.error.file") is None:
+            jsys.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    except Exception:
+        pass  # py4j internals drift -> cosmetic guard only, never fatal
     return spark

@@ -132,16 +132,20 @@ def test_jdbc_round_trip_through_embedded_derby(spark, tmp_path):
 
     from kafka_etl_automation_spark import io as kio
 
+    # Set BOTH properties before Class.forName: loading EmbeddedDriver is
+    # what boots the Derby engine, and the engine opens derby.log exactly
+    # once at boot — a probe-then-configure order leaves a stray derby.log
+    # at user.dir (the repo root) for the whole JVM lifetime even though
+    # later database boots honor system.home (VERDICT r08 housekeeping #3).
+    jsys = spark.sparkContext._jvm.java.lang.System
+    jsys.setProperty("derby.system.home", str(tmp_path))
+    jsys.setProperty("derby.stream.error.file", str(tmp_path / "derby.log"))
     try:
         spark.sparkContext._jvm.java.lang.Class.forName(
             "org.apache.derby.jdbc.EmbeddedDriver"
         )
     except Exception:
         pytest.skip("no embedded Derby driver on the JVM classpath")
-    # derby.system.home keeps the db + derby.log inside tmp_path
-    spark.sparkContext._jvm.java.lang.System.setProperty(
-        "derby.system.home", str(tmp_path)
-    )
     url = f"jdbc:derby:{tmp_path}/etldb;create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
 

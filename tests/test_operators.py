@@ -617,6 +617,34 @@ def test_minhash_candidate_scopes(spark):
         dedup.minhash_lsh_pairs(
             df, bipartite=(F.col("doc_id") % 2).cast("int"), collapse_exact=True
         )
+    # sig_source schema validation (ADVICE r08): a frame built with MORE
+    # hashes than num_hashes must fail fast (banding over a subset would
+    # silently change recall), as must a frame missing `sh` or mh columns
+    sig128 = dedup.signature_sets(df, "text", "doc_id", n=3, num_hashes=128)
+    with pytest.raises(ValueError, match="mh64"):
+        dedup.minhash_lsh_pairs(
+            None, collapse_exact=False, sig_source=sig128, **{
+                k: v for k, v in kw.items() if k != "collapse_exact"
+            }
+        )
+    sig64 = dedup.signature_sets(df, "text", "doc_id", n=3, num_hashes=64)
+    with pytest.raises(ValueError, match="missing columns.*'sh'"):
+        dedup.minhash_lsh_pairs(
+            None, collapse_exact=False, sig_source=sig64.drop("sh"), **{
+                k: v for k, v in kw.items() if k != "collapse_exact"
+            }
+        )
+    # a CORRECT sig_source (same num_hashes, sh present) still works and
+    # reproduces the inline-built pair set exactly
+    via_src = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            None, collapse_exact=False, sig_source=sig64, **{
+                k: v for k, v in kw.items() if k != "collapse_exact"
+            }
+        ).collect()
+    }
+    assert via_src == allp
 
 
 def test_lsh_recall_floors(spark):
