@@ -616,17 +616,10 @@ def ngram_overlap_decontamination(
     this query before the codegen formulation landed (40.7s after,
     identical digests).
     """
-    from kafka_etl_automation_spark.operators.dedup import _exploded_shingles
-
     split = text.hash_split(text_col, train_pct)
 
     def gram_keys(df: DataFrame) -> DataFrame:
-        return _exploded_shingles(df, text_col, id_col, n).select(
-            "id",
-            F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10)
-            .cast("long")
-            .alias("g"),
-        )
+        return _gram_keys(df, text_col, id_col, n)
 
     train_grams = (
         gram_keys(documents.filter(split == "train"))
@@ -641,6 +634,203 @@ def ngram_overlap_decontamination(
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams"),
             F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_overlap"),
+        )
+        .filter(F.col("n_overlap") >= min_grams)
+        .withColumn(
+            "overlap_frac",
+            (F.col("n_overlap") / F.col("n_grams")).cast("double"),
+        )
+    )
+
+
+def _gram_keys(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, g): each document's DISTINCT word n-grams as portable
+    md5-derived 60-bit integer keys — the gram representation both
+    containment variants (exact join / sharded bloom) and the DuckDB
+    oracle share. Rides dedup._exploded_shingles' codegen-only gram build
+    (see ngram_overlap_decontamination's formulation note)."""
+    from kafka_etl_automation_spark.operators.dedup import _exploded_shingles
+
+    return _exploded_shingles(df, text_col, id_col, n).select(
+        "id",
+        F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long").alias("g"),
+    )
+
+
+def _bloom_params(expected_items: int, fpp: float) -> tuple[int, int]:
+    """(total_bits, num_hash_functions) for a bloom filter sized to hold
+    ``expected_items`` at false-positive probability ``fpp`` — the
+    standard m = -n*ln(p)/ln(2)^2, k = (m/n)*ln(2) formulas."""
+    import math
+
+    n = max(1, int(expected_items))
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(64, (m + 63) // 64 * 64)  # whole uint64 words
+    k = max(1, min(16, int(round(m / n * math.log(2)))))
+    return m, k
+
+
+def ngram_overlap_decontamination_bloom(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_grams: int = 1,
+    train_pct: int = 90,
+    fpp: float = 0.001,
+    expected_grams: int | None = None,
+    segments: int | None = None,
+) -> DataFrame:
+    """PRODUCTION variant of :func:`ngram_overlap_decontamination`: the
+    same published containment contract, with train-gram membership
+    answered by a SEGMENT-SHARDED bloom filter instead of the exact
+    global gram-set distinct + keyed join.
+
+    Why: the exact shape is documents-linear but its ~|corpus tokens|-key
+    global ``distinct`` is the piece that leaves a single node's memory
+    hierarchy first (measured: the 2700x octave's 3.8x wall step per 3x
+    data, matched by the DuckDB oracle — BENCH_SCALE.md r08). The
+    published pipelines (GPT-3 appendix C, PaLM) answer exactly this with
+    a bloom filter sized to worker memory. Spark 4.1 does not expose
+    bloom_filter_agg in the public function registry, so the filter is
+    built Spark-natively:
+
+      1. train gram keys (duplicates kept — no global distinct; a
+         duplicate key just re-sets the same bits) are routed to
+         ``g % segments``; one applyInPandas task per segment builds that
+         segment's bit array in numpy (Arrow-batched, vectorized double
+         hashing) — per-task state is total_bits/segments, BOUNDED BY
+         CONSTRUCTION regardless of corpus size: at 100 TB you raise
+         ``segments`` with the cluster, never the per-task footprint;
+      2. eval gram keys route to the same segment and are probed via
+         ``cogroup``: each task sees one segment's eval grams + that
+         segment's one bloom blob, tests k bits vectorized, and emits
+         per-(doc, segment) PARTIAL counts — the post-probe shuffle
+         carries one tiny row per (doc, segment-with-hits), not per gram;
+      3. per-doc totals sum the partials.
+
+    Guarantees: a bloom filter has NO false negatives, so per doc
+    n_overlap >= the exact variant's n_overlap and the flagged set is a
+    SUPERSET of the exact contract's (pinned by
+    tests/test_operators.py::test_ngram_overlap_bloom_superset); false
+    positives inflate n_overlap at rate <= ``fpp`` per missing gram
+    (measured against the exact twin at the 300x octave, BENCH_SCALE.md
+    r09). The 0.001 default reflects that min_grams=1 turns every
+    per-gram FP into a flagged doc, and bloom bits are the cheap axis
+    (14.4 bits/key): at the sf0.01 gate 0.01 flags 18 docs vs the exact
+    3, 0.001 flags 5, 0.0001 flags 3 — tune fpp to the eval suite's
+    tolerance for over-quarantine, never under it (decontamination FPs
+    only discard extra eval items; FNs would leak). Use the exact twin as ground truth at verification SFs; ship
+    this when the gram set outgrows the exact join.
+
+    ``expected_grams`` sizes the filter; when None, one
+    approx_count_distinct sketch pass over the train grams estimates it
+    (rsd 5% — sizing only needs the order of magnitude). ``segments``
+    defaults to cluster parallelism, raised so no segment blob exceeds
+    ~32 MiB.
+
+    Output schema/filter match the exact twin: one row per flagged eval
+    doc — (eval_doc_id, n_grams, n_overlap, overlap_frac).
+
+    Reference parity: same FACT_AUTOMATION.sh:182-220 hash-keyed
+    cross-layer membership contract as the exact variant, at passage
+    granularity with sketched membership.
+    """
+    import numpy as np
+    import pandas as pd
+
+    split = text.hash_split(text_col, train_pct)
+    train_g = _gram_keys(documents.filter(split == "train"), text_col, id_col, n)
+    eval_g = _gram_keys(documents.filter(split == "eval"), text_col, id_col, n)
+
+    if expected_grams is None:
+        expected_grams = train_g.agg(
+            F.approx_count_distinct("g", rsd=0.05).alias("c")
+        ).collect()[0]["c"]
+    m_total, k = _bloom_params(expected_grams, fpp)
+
+    spark = documents.sparkSession
+    if segments is None:
+        segments = spark.sparkContext.defaultParallelism
+    # keep each segment's bit array <= ~32 MiB so probe tasks stay cheap
+    max_seg_bits = 32 * 1024 * 1024 * 8
+    segments = max(int(segments), (m_total + max_seg_bits - 1) // max_seg_bits)
+    m_seg = max(64, (m_total // segments + 63) // 64 * 64)
+
+    # double hashing (Kirsch-Mitzenmacher): two splitmix64-mixed values
+    # give the k probe positions; build and probe share this closure so
+    # the arithmetic cannot drift apart
+    def _positions(g_u64: "np.ndarray") -> list["np.ndarray"]:
+        z = g_u64 + np.uint64(0x9E3779B97F4B9217)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+        m = np.uint64(m_seg)
+        h1 = z % m
+        h2 = ((z >> np.uint64(17)) | np.uint64(1)) % m
+        return [(h1 + np.uint64(i) * h2) % m for i in range(k)]
+
+    def _build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        seg = int(pdf["seg"].iloc[0])
+        bits = np.zeros(m_seg // 64, dtype=np.uint64)
+        g = np.unique(pdf["g"].to_numpy(np.int64).astype(np.uint64))
+        for pos in _positions(g):
+            np.bitwise_or.at(
+                bits,
+                (pos >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
+        return pd.DataFrame({"seg": [seg], "bloom": [bits.tobytes()]})
+
+    def _probe(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        if left.empty:
+            return pd.DataFrame(
+                {"id": pd.Series(dtype="int64"),
+                 "n_part": pd.Series(dtype="int64"),
+                 "n_hit": pd.Series(dtype="int64")}
+            )
+        if right.empty:  # no train grams landed in this segment
+            out = left.groupby("id").size()
+            return pd.DataFrame(
+                {"id": out.index.to_numpy(np.int64),
+                 "n_part": out.to_numpy(np.int64),
+                 "n_hit": np.zeros(len(out), dtype=np.int64)}
+            )
+        bits = np.frombuffer(right["bloom"].iloc[0], dtype=np.uint64)
+        g = left["g"].to_numpy(np.int64).astype(np.uint64)
+        ok = np.ones(len(g), dtype=bool)
+        for pos in _positions(g):
+            word = bits[(pos >> np.uint64(6)).astype(np.int64)]
+            ok &= ((word >> (pos & np.uint64(63))) & np.uint64(1)).astype(bool)
+        agg = pd.DataFrame(
+            {"id": left["id"].to_numpy(np.int64), "hit": ok.astype(np.int64)}
+        ).groupby("id")["hit"].agg(["size", "sum"])
+        return pd.DataFrame(
+            {"id": agg.index.to_numpy(np.int64),
+             "n_part": agg["size"].to_numpy(np.int64),
+             "n_hit": agg["sum"].to_numpy(np.int64)}
+        )
+
+    seg_col = (F.col("g") % segments).cast("int").alias("seg")
+    blooms = (
+        train_g.select("g", seg_col)
+        .groupBy("seg")
+        .applyInPandas(_build, schema="seg int, bloom binary")
+    )
+    partials = (
+        eval_g.select("id", "g", seg_col)
+        .groupBy("seg")
+        .cogroup(blooms.groupBy("seg"))
+        .applyInPandas(
+            lambda left, right: _probe(left, right),
+            schema="id long, n_part long, n_hit long",
+        )
+    )
+    return (
+        partials.groupBy(F.col("id").alias("eval_doc_id"))
+        .agg(
+            F.sum("n_part").cast("long").alias("n_grams"),
+            F.sum("n_hit").cast("long").alias("n_overlap"),
         )
         .filter(F.col("n_overlap") >= min_grams)
         .withColumn(

@@ -67,6 +67,7 @@ _PRIORITY = [
     "ext_decontamination_canonical",
     "ext_decontamination_canonical_lsh",
     "ext_ngram_overlap_decontamination",
+    "ext_ngram_overlap_decontamination_bloom",
     "ext_source_cap",
     "ext_cdc_apply",
     "ext_incremental_rollup",

@@ -1760,6 +1760,26 @@ def ext_ngram_overlap_decontamination(
     return curation.ngram_overlap_decontamination(t["documents"])
 
 
+@register("ext_ngram_overlap_decontamination_bloom")  # sketch -> rows-only
+def ext_ngram_overlap_decontamination_bloom(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PRODUCTION shape of the containment check (operators.curation.
+    ngram_overlap_decontamination_bloom): train-gram membership answered
+    by a segment-sharded bloom filter (applyInPandas build + cogrouped
+    vectorized probe) instead of the exact global gram distinct + keyed
+    join — per-task state bounded by construction at any corpus size,
+    which is the answer to the exact twin's single-node wall at the 2700x
+    octave (BENCH_SCALE.md). No false negatives: the flagged set is a
+    SUPERSET of the oracle-checked exact twin (pinned by
+    tests/test_operators.py::test_ngram_overlap_bloom_superset); the FP
+    side is the sketch's epsilon, hence rows-only here."""
+    from kafka_etl_automation_spark.operators import curation
+
+    t = load_tables(spark, sf_dir, names=("documents",))
+    return curation.ngram_overlap_decontamination_bloom(t["documents"])
+
+
 # C4-style cross-document duplicate-span (boilerplate) removal: chop each
 # doc into non-overlapping 5-word spans, spans present in >= 2 distinct
 # docs are boilerplate, rebuild clean text from surviving spans in order.

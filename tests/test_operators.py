@@ -1366,6 +1366,45 @@ def test_ngram_overlap_decontamination_semantics(spark):
     )
 
 
+def test_ngram_overlap_bloom_superset(spark):
+    """The segment-sharded bloom containment variant (VERDICT r08 #3) has
+    no false negatives: on the gate corpus its flagged set must be a
+    SUPERSET of the exact twin's, with per-doc n_grams identical and
+    n_overlap >= the exact count; at fpp tight enough for the corpus the
+    report is IDENTICAL. Also pins multi-segment sharding (segments > 1
+    routes grams across blooms) and the expected_grams sizing path."""
+    from kafka_etl_automation_spark.catalog import load_tables
+    from kafka_etl_automation_spark.operators import curation
+
+    docs = load_tables(spark, SF_SMALL, names=("documents",))["documents"]
+    exact = {
+        r.eval_doc_id: r
+        for r in curation.ngram_overlap_decontamination(docs).collect()
+    }
+    # multi-segment + auto-sized (approx_count_distinct path)
+    bloom = {
+        r.eval_doc_id: r
+        for r in curation.ngram_overlap_decontamination_bloom(
+            docs, segments=8
+        ).collect()
+    }
+    assert set(exact) <= set(bloom)
+    for k, er in exact.items():
+        br = bloom[k]
+        assert br.n_grams == er.n_grams, (k, br.n_grams, er.n_grams)
+        assert br.n_overlap >= er.n_overlap, (k, br.n_overlap, er.n_overlap)
+    # tight fpp + explicit sizing -> exact report reproduced
+    tight = {
+        (r.eval_doc_id, r.n_grams, r.n_overlap)
+        for r in curation.ngram_overlap_decontamination_bloom(
+            docs, fpp=1e-6, expected_grams=200_000, segments=4
+        ).collect()
+    }
+    assert tight == {
+        (r.eval_doc_id, r.n_grams, r.n_overlap) for r in exact.values()
+    }
+
+
 def test_shingle_hash_rows_formulations(spark):
     """The shipped zero-exchange zero-copy shingle-hash build (r09:
     explode(sequence) + element_at) must be row-multiset-identical to
