@@ -148,6 +148,30 @@ def test_kafka_shape_roundtrip_and_corrupt_records(spark):
     assert parsed.filter("event_id IS NULL").count() == 2
 
 
+def test_kafka_source_option_shape():
+    """S1 builder options (the part of the real-broker story testable
+    without a broker or the kafka connector jar): exactly the option keys
+    Spark's Kafka connector documents, values passed through verbatim.
+    Guards against a typo'd option key silently ignored by the connector
+    (Kafka options are stringly-typed; 'startingOffset' would not error,
+    it would just read from 'latest')."""
+    assert ingest.kafka_stream_options("b1:9092,b2:9092", "events") == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "events",
+        "startingOffsets": "earliest",
+    }
+    window = ingest.kafka_batch_options(
+        "b1:9092", "events",
+        '{"events":{"0":42}}', '{"events":{"0":99}}',
+    )
+    assert window == {
+        "kafka.bootstrap.servers": "b1:9092",
+        "subscribe": "events",
+        "startingOffsets": '{"events":{"0":42}}',
+        "endingOffsets": '{"events":{"0":99}}',
+    }
+
+
 def test_checkpoint_no_reprocessing(spark, tmp_root):
     """S2/T2: a second drain over the same checkpoint consumes nothing new
     until new files arrive — Structured Streaming's offset bookkeeping."""
