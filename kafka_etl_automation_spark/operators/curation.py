@@ -723,11 +723,26 @@ def ngram_overlap_decontamination_bloom(
     only discard extra eval items; FNs would leak). Use the exact twin as ground truth at verification SFs; ship
     this when the gram set outgrows the exact join.
 
-    ``expected_grams`` sizes the filter; when None, one
-    approx_count_distinct sketch pass over the train grams estimates it
-    (rsd 5% — sizing only needs the order of magnitude). ``segments``
-    defaults to cluster parallelism, raised so no segment blob exceeds
-    ~32 MiB.
+    ``expected_grams`` sizes the filter; when None it is UPPER-BOUNDED by
+    the train split's token count (every n-gram starts at a token), which
+    costs one scan + one map-side-combining sum — no gram explode, no
+    md5, no distinct sketch. Oversizing is the SAFE direction: a filter
+    built for more keys than arrive only has a lower FP rate (the r09
+    first cut estimated distinct grams with approx_count_distinct, which
+    re-ran the entire gram build just to size the filter — a full extra
+    pass for precision the sizing doesn't need). ``segments`` defaults to
+    cluster parallelism, raised so no segment blob exceeds ~32 MiB.
+
+    Kernel notes (they moved the 2700x octave from 401s to the shipped
+    number in BENCH_SCALE.md r09): per-segment size is a power of two so
+    every position is an AND mask, never a uint64 modulo (~30 cycles x
+    k+2 per gram); the build scatters constant 1s into a byte-per-bit
+    array (`arr[pos] = 1` is a buffered fancy store) and packbits()
+    to the blob once — `np.bitwise_or.at` is an UNBUFFERED ufunc at
+    ~100ns/element, which at ~170M (position, mask) pairs per segment
+    was the whole regression; duplicates are NOT pre-uniqued (bit-setting
+    is idempotent; np.unique is a sort that costs more than the dup
+    re-sets save).
 
     Output schema/filter match the exact twin: one row per flagged eval
     doc — (eval_doc_id, n_grams, n_overlap, overlap_frac).
@@ -740,13 +755,19 @@ def ngram_overlap_decontamination_bloom(
     import pandas as pd
 
     split = text.hash_split(text_col, train_pct)
-    train_g = _gram_keys(documents.filter(split == "train"), text_col, id_col, n)
+    train_docs = documents.filter(split == "train")
+    train_g = _gram_keys(train_docs, text_col, id_col, n)
     eval_g = _gram_keys(documents.filter(split == "eval"), text_col, id_col, n)
 
     if expected_grams is None:
-        expected_grams = train_g.agg(
-            F.approx_count_distinct("g", rsd=0.05).alias("c")
-        ).collect()[0]["c"]
+        # token-count UPPER BOUND on the distinct gram count: one scan +
+        # one map-side-combining sum, no gram build. Oversizing only
+        # lowers the FP rate (see docstring).
+        from kafka_etl_automation_spark.operators.dedup import tokens
+
+        expected_grams = train_docs.agg(
+            F.sum(F.size(tokens(text_col))).alias("c")
+        ).collect()[0]["c"] or 1
     m_total, k = _bloom_params(expected_grams, fpp)
 
     spark = documents.sparkSession
@@ -755,32 +776,37 @@ def ngram_overlap_decontamination_bloom(
     # keep each segment's bit array <= ~32 MiB so probe tasks stay cheap
     max_seg_bits = 32 * 1024 * 1024 * 8
     segments = max(int(segments), (m_total + max_seg_bits - 1) // max_seg_bits)
-    m_seg = max(64, (m_total // segments + 63) // 64 * 64)
+    # power of two so positions mask instead of uint64-modulo (the mod was
+    # ~30 cycles x (k+2) per gram); rounding UP only lowers the FP rate
+    m_seg = 1 << max(6, (m_total // segments - 1).bit_length())
 
     # double hashing (Kirsch-Mitzenmacher): two splitmix64-mixed values
-    # give the k probe positions; build and probe share this closure so
-    # the arithmetic cannot drift apart
+    # give the k probe positions; h2 is forced odd so it is full-period
+    # modulo the power-of-two m. Build and probe share this closure so
+    # the arithmetic cannot drift apart.
     def _positions(g_u64: "np.ndarray") -> list["np.ndarray"]:
+        mask = np.uint64(m_seg - 1)
         z = g_u64 + np.uint64(0x9E3779B97F4B9217)
         z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
         z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
         z = z ^ (z >> np.uint64(31))
-        m = np.uint64(m_seg)
-        h1 = z % m
-        h2 = ((z >> np.uint64(17)) | np.uint64(1)) % m
-        return [(h1 + np.uint64(i) * h2) % m for i in range(k)]
+        h1 = z & mask
+        h2 = (z >> np.uint64(17)) | np.uint64(1)
+        return [(h1 + np.uint64(i) * h2) & mask for i in range(k)]
 
     def _build(pdf: "pd.DataFrame") -> "pd.DataFrame":
         seg = int(pdf["seg"].iloc[0])
-        bits = np.zeros(m_seg // 64, dtype=np.uint64)
-        g = np.unique(pdf["g"].to_numpy(np.int64).astype(np.uint64))
+        # byte-per-bit scatter of constant 1s, packed once at the end:
+        # fancy-store + packbits is ~100x np.bitwise_or.at's unbuffered
+        # read-modify-write loop. Duplicates re-set the same byte — cheaper
+        # than the sort np.unique would spend removing them.
+        arr = np.zeros(m_seg, dtype=np.uint8)
+        g = pdf["g"].to_numpy(np.int64).astype(np.uint64)
         for pos in _positions(g):
-            np.bitwise_or.at(
-                bits,
-                (pos >> np.uint64(6)).astype(np.int64),
-                np.uint64(1) << (pos & np.uint64(63)),
-            )
-        return pd.DataFrame({"seg": [seg], "bloom": [bits.tobytes()]})
+            arr[pos] = 1
+        return pd.DataFrame(
+            {"seg": [seg], "bloom": [np.packbits(arr, bitorder="little").tobytes()]}
+        )
 
     def _probe(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
         if left.empty:
@@ -796,12 +822,13 @@ def ngram_overlap_decontamination_bloom(
                  "n_part": out.to_numpy(np.int64),
                  "n_hit": np.zeros(len(out), dtype=np.int64)}
             )
-        bits = np.frombuffer(right["bloom"].iloc[0], dtype=np.uint64)
+        packed = np.frombuffer(right["bloom"].iloc[0], dtype=np.uint8)
         g = left["g"].to_numpy(np.int64).astype(np.uint64)
         ok = np.ones(len(g), dtype=bool)
         for pos in _positions(g):
-            word = bits[(pos >> np.uint64(6)).astype(np.int64)]
-            ok &= ((word >> (pos & np.uint64(63))) & np.uint64(1)).astype(bool)
+            byte = packed[(pos >> np.uint64(3)).astype(np.int64)]
+            ok &= ((byte >> (pos & np.uint64(7)).astype(np.uint8))
+                   & np.uint8(1)).astype(bool)
         agg = pd.DataFrame(
             {"id": left["id"].to_numpy(np.int64), "hit": ok.astype(np.int64)}
         ).groupby("id")["hit"].agg(["size", "sum"])
