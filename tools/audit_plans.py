@@ -4,6 +4,18 @@ For each ``queries()`` entry, renders ``explain(formatted)`` and flags:
 - CartesianProduct      (unkeyed cross join — a 100 TB killer)
 - BatchEvalPython       (row-at-a-time Python UDF — only ArrowEvalPython /
                          mapInPandas are sanctioned)
+- BroadcastOverGenerate (a BroadcastExchange whose subtree contains a
+                         Generate: the build side is explode-derived, and
+                         Catalyst does NOT multiply row estimates through
+                         Generate — the narrow post-explode projection then
+                         collapses sizeInBytes under the broadcast
+                         threshold, so a frame that GROWS WITH THE CORPUS
+                         gets planned as a broadcast. Caught live at the
+                         2700x octave (r09): the containment check's
+                         ~600M-row train-gram distinct was broadcast and
+                         overflowed driver maxResultSize; unbounded on a
+                         real cluster. Structural, so it transfers across
+                         SFs — gate-SF sizes would never trip a size check)
 - scans with no pushed filters when the query is selective
 - missing WholeStageCodegen coverage (informational)
 
@@ -57,6 +69,32 @@ ALLOW = {
 HARD = ("CartesianProduct", "BatchEvalPython")
 
 
+def broadcast_over_generate(tree: str) -> bool:
+    """True if any BroadcastExchange's SUBTREE contains a Generate — the
+    explode-derived-build-side structure whose Catalyst size estimate is
+    bogus at corpus scale (see module docstring). Parses the plan tree's
+    indentation: a node's children carry a strictly longer structural
+    prefix ('   :- ', '   +- ', ...) until the prefix returns to the
+    node's own length."""
+    lines = tree.splitlines()
+
+    def depth(line: str) -> int:
+        return len(re.match(r"^[ :+\-*]*", line).group(0))
+
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        d = depth(line)
+        for nxt in lines[i + 1 :]:
+            if not nxt.strip():
+                continue
+            if depth(nxt) <= d:
+                break
+            if "Generate" in nxt:
+                return True
+    return False
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -77,7 +115,10 @@ def main() -> int:
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
         plan = buf.getvalue()
+        tree = df._jdf.queryExecution().executedPlan().toString()
         flags = [p for p in HARD if p in plan]
+        if broadcast_over_generate(tree):
+            flags.append("BroadcastOverGenerate")
         bnl = "BroadcastNestedLoopJoin" in plan
         wsc = len(set(re.findall(r"codegen id : (\d+)", plan)))
         bhj = plan.count("BroadcastHashJoin")
