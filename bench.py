@@ -71,6 +71,11 @@ BENCH_QUERIES = [
     # overlap): documents-linear, fully oracle-checked at any SF — the
     # deterministic complement to the Jaccard shapes above
     "ext_ngram_overlap_decontamination",
+    # its segment-sharded bloom production shape (r09): per-task state
+    # bounded by construction, zero false negatives; at bench SF the
+    # Python-worker fixed costs dominate (~2.3s solo) — the octave story
+    # is in BENCH_SCALE.md
+    "ext_ngram_overlap_decontamination_bloom",
     "ext_simhash_pairs",
     "ext_text_stats",
     "ext_quality_score",

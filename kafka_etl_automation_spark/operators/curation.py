@@ -285,17 +285,19 @@ def cross_split_contamination(
         F.col(id_col).alias("sid"),
         text.hash_split(text_col, train_pct).alias("split"),
     )
+    # splits is one row per doc — corpus-sized; shuffle_hash forbids the
+    # broadcast its collapsed size estimate would otherwise allow
     tagged = (
         pairs.join(
-            splits.withColumnRenamed("sid", "id_a").withColumnRenamed(
-                "split", "split_a"
-            ),
+            splits.hint("shuffle_hash")
+            .withColumnRenamed("sid", "id_a")
+            .withColumnRenamed("split", "split_a"),
             "id_a",
         )
         .join(
-            splits.withColumnRenamed("sid", "id_b").withColumnRenamed(
-                "split", "split_b"
-            ),
+            splits.hint("shuffle_hash")
+            .withColumnRenamed("sid", "id_b")
+            .withColumnRenamed("split", "split_b"),
             "id_b",
         )
         .filter(F.col("split_a") != F.col("split_b"))
@@ -449,7 +451,7 @@ def decontaminate_canonical_lsh(
     # reps feeds the signature build AND the label projection — persisted,
     # or the collapse group-agg re-executes per reference (the same lesson
     # the r07 ladder taught for the corpus frame)
-    reps = _cache_persisted(reps)
+    reps = _cache_persisted(reps, eager=False)  # sig's count covers it
     sig = _cache_persisted(
         dedup.signature_sets(reps, text_col, id_col, n, num_hashes).join(
             reps.select(F.col(id_col).alias("id"), split.alias("_lbl")), "id"
@@ -544,7 +546,7 @@ _CORPUS_CACHES: list = []
 _CORPUS_CACHE_CAP = 6
 
 
-def _cache_persisted(frame: DataFrame) -> DataFrame:
+def _cache_persisted(frame: DataFrame, eager: bool = True) -> DataFrame:
     """Persist ``frame`` (MEMORY_AND_DISK) into the bounded-FIFO corpus
     cache, evicting oldest-first BEFORE appending so the live set never
     exceeds _CORPUS_CACHE_CAP — evicting only once per call let the cache
@@ -559,6 +561,14 @@ def _cache_persisted(frame: DataFrame) -> DataFrame:
         except Exception:
             pass
     out = frame.persist(StorageLevel.MEMORY_AND_DISK)
+    # Eager (default): corpus-sized cached frames land on join sides
+    # downstream; a MATERIALIZED InMemoryRelation reports measured (not
+    # Generate-collapsed) stats, so static broadcast decisions over it
+    # are size-sound at every SF (the r09 BroadcastOverGenerate class).
+    # Pass eager=False when a downstream cache's count materializes this
+    # one transitively — one job, several measured caches.
+    if eager:
+        out.count()
     _CORPUS_CACHES.append(out)
     return out
 

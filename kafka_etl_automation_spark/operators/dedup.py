@@ -170,10 +170,14 @@ def ngram_jaccard_pairs(
     at 100 TB use minhash_lsh_pairs and keep this as the verifier on
     candidate pairs only.
     """
+    # every join side below is corpus-sized (posting lists / per-doc size
+    # counts) but Generate-derived, so its size ESTIMATE collapses and the
+    # planner would broadcast it — hint shuffle_hash everywhere (the
+    # BroadcastOverGenerate class; see the r09 containment incident)
     ex = _exploded_shingles(df, text_col, id_col, n)
-    sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
+    sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh")).hint("shuffle_hash")
 
-    a, b = ex.alias("a"), ex.alias("b")
+    a, b = ex.alias("a"), ex.hint("shuffle_hash").alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -344,31 +348,47 @@ def _exact_text_collapse(
     from pyspark import StorageLevel
 
     # Bound cache accumulation across repeated calls in a long-lived
-    # session (ADVICE r05): keep the newest few member maps, evict the
-    # rest FIFO. Evicted frames stay correct (they recompute on next
-    # action); the cap only exists so a session that never calls
+    # session (ADVICE r05): keep the newest few frames, evict the rest
+    # FIFO. Evicted frames stay correct (they recompute on next action);
+    # the cap only exists so a session that never calls
     # release_collapse_caches() holds O(1) cached maps, not O(#calls).
-    while len(_COLLAPSE_CACHES) >= _COLLAPSE_CACHE_CAP:
-        try:
-            _COLLAPSE_CACHES.pop(0).unpersist(False)
-        except Exception:
-            pass
+    # Eviction runs before EACH append (the r09 grp cache made this a
+    # two-append call, which with entry-only eviction held cap+1 live —
+    # the same transient-overflow class ADVICE r08 flagged in curation).
+    def _cache_collapse(frame: DataFrame) -> DataFrame:
+        while len(_COLLAPSE_CACHES) >= _COLLAPSE_CACHE_CAP:
+            try:
+                _COLLAPSE_CACHES.pop(0).unpersist(False)
+            except Exception:
+                pass
+        out = frame.persist(StorageLevel.MEMORY_AND_DISK)
+        _COLLAPSE_CACHES.append(out)
+        return out
 
     kl, kh = F.length(F.col(text_col)), F.xxhash64(F.col(text_col))
     keyed = df.select(
         F.col(id_col).alias("member"), kl.alias("_kl"), kh.alias("_kh")
     )
-    grp = keyed.groupBy("_kl", "_kh").agg(F.min("member").alias("rep"))
+    # grp is one row per DISTINCT TEXT — corpus-sized, and its static
+    # size ESTIMATE collapses through the narrow projection, which would
+    # put it on a broadcast build side at any SF (the
+    # BroadcastOverGenerate class, r09). Persist + eager count instead:
+    # a MATERIALIZED InMemoryRelation reports its measured size, so the
+    # planner broadcasts it exactly when it truly fits (small corpora)
+    # and never when it doesn't.
+    grp = _cache_collapse(
+        keyed.groupBy("_kl", "_kh").agg(F.min("member").alias("rep"))
+    )
+    # (no count here: members' eager count below materializes grp
+    # transitively — one materialization job, two measured caches)
     # members feeds BOTH sides of the cross expansion and both sides of
     # the within self-join (4 references) — persist or the whole collapse
     # pipeline (document scan included) re-executes per reference. Two
     # longs per doc: a sliver at any scale.
-    members = (
-        keyed.join(grp, ["_kl", "_kh"])
-        .select("rep", "member")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    members = _cache_collapse(
+        keyed.join(grp, ["_kl", "_kh"]).select("rep", "member")
     )
-    _COLLAPSE_CACHES.append(members)
+    members.count()  # eager, same reason
     reps = df.join(
         grp.select(F.col("rep").alias(id_col)), id_col, "semi"
     )
@@ -625,6 +645,8 @@ def minhash_lsh_pairs(
         src = signature_sets(df, text_col, id_col, n, num_hashes).persist(
             StorageLevel.MEMORY_AND_DISK
         )
+        # (src is materialized transitively by banded's eager count below
+        # — banded derives from src, so one job measures both caches)
 
     band_structs = [
         F.struct(
@@ -657,6 +679,13 @@ def minhash_lsh_pairs(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Eager count: the bucket self-join and the verify joins below put
+    # cached projections on join sides; MATERIALIZED InMemoryRelations
+    # report MEASURED sizes, so static broadcast decisions over them are
+    # size-sound at every SF instead of riding a Generate-collapsed
+    # estimate (the r09 BroadcastOverGenerate class). One count
+    # materializes banded AND src (its parent cache) in a single job.
+    banded.count()
 
     # Skew guard: drop degenerate buckets (e.g. identical boilerplate
     # signatures) that would go quadratic; at 100 TB this is the
@@ -1038,6 +1067,8 @@ def simhash_near_pairs(
             f"(got max_hamming={max_hamming}, chunks={chunks}); "
             f"use chunks={max_hamming + 1} or more"
         )
+    from pyspark import StorageLevel
+
     members = None
     if collapse_exact:
         df, members = _exact_text_collapse(df, text_col, id_col)
@@ -1072,6 +1103,20 @@ def simhash_near_pairs(
             .filter(F.col("bsz") <= max_bucket)
             .drop("bsz")
         )
+    # Persist + eager count: both self-join sides reference banded (one
+    # recompute saved), and a MATERIALIZED InMemoryRelation gives the
+    # static planner measured stats for the corpus x chunks frame — no
+    # Generate-collapsed estimate can broadcast it (the r09
+    # BroadcastOverGenerate class). Same bounded-FIFO cache as collapse,
+    # same evict-before-append discipline.
+    while len(_COLLAPSE_CACHES) >= _COLLAPSE_CACHE_CAP:
+        try:
+            _COLLAPSE_CACHES.pop(0).unpersist(False)
+        except Exception:
+            pass
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    banded.count()
+    _COLLAPSE_CACHES.append(banded)
     x, y = banded.alias("x"), banded.alias("y")
     verified = (
         x.join(
@@ -1159,7 +1204,12 @@ def boilerplate_span_dedup(
         .filter(F.col("n_docs") >= min_docs)
         .select("span_text", "n_docs")
     )
-    joined = base.join(F.broadcast(heavy), "span_text", "left")
+    # heavy (cross-doc duplicate spans) GROWS WITH THE CORPUS — at web
+    # scale boilerplate is a constant fraction of all spans, so the
+    # explicit broadcast this join used through r08 was a latent scale
+    # bug of the same class as the r09 containment incident; a keyed
+    # shuffled hash join is the shape (both sides already key on the span)
+    joined = base.join(heavy.hint("shuffle_hash"), "span_text", "left")
     keep = F.when(
         F.col("n_docs").isNull(),
         F.struct(F.col("span_idx"), F.col("span_text")),

@@ -186,7 +186,8 @@ def top_terms(
 
     Plan shape: one token explode -> (doc, term) counts [shuffle 1] ->
     document frequencies [shuffle 2, one row per distinct term] ->
-    broadcast-join idf back -> per-doc window top-k [shuffle 3 on doc].
+    keyed shuffled-hash-join idf back (vocabulary-sized: never broadcast)
+    -> per-doc window top-k [shuffle 3 on doc].
     All counts map-side combine; nothing driver-side except the scalar N.
     """
     from pyspark.sql import Window
@@ -204,8 +205,13 @@ def top_terms(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    # dfreq is VOCABULARY-sized — Heaps' law keeps it growing with the
+    # corpus (URLs, typos, numbers), so the explicit broadcast used
+    # through r08 was a latent scale bug of the r09 BroadcastOverGenerate
+    # class; the tf side is already exchanged on term for its own groupBy,
+    # so the keyed shuffled hash join reuses that partitioning
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+    scored = tf.join(dfreq.hint("shuffle_hash"), "term").withColumn(
         "tfidf",
         F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
     )
@@ -362,11 +368,13 @@ def bigram_coherence(
 
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    ratio = c2.join(c1, "w1").select(
+    ratio = c2.join(c1.hint("shuffle_hash"), "w1").select(
         "w1", "w2", (F.col("c2") / F.col("c1")).alias("r")
     )
     return (
-        bg.join(ratio, ["w1", "w2"])
+        # ratio is bigram-vocabulary-sized (grows with the corpus); its
+        # Generate-derived estimate collapses, so pin the join strategy
+        bg.join(ratio.hint("shuffle_hash"), ["w1", "w2"])
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),

@@ -1703,7 +1703,18 @@ def ext_decontamination_canonical_lsh(spark: SparkSession, sf_dir: str) -> DataF
     Since r08 both passes share ONE signature build + collapse
     (curation.decontaminate_canonical_lsh): the corpus is signed once and
     each pass filters the signed frame, halving the fixed overhead the r07
-    verdict flagged (#2) with output identical to the closure shape."""
+    verdict flagged (#2) with output identical to the closure shape.
+
+    Measured octave ceiling (r09, BENCH_SCALE.md): sublinear through 900x
+    (4.5M docs); at 2700x on the adversarial dup-dense corpus the pass-2
+    verify join's surviving in-bucket train x eval candidates reach 1.3e9
+    (band-level probe) — dup families straddling the 0.2 threshold
+    collide in the r=2 bands but fail verification AND survive the
+    keep-list, so the per-pair contract grows with family multiplicity^2;
+    canonicalization buys one octave over the raw pair report, not a
+    complexity class. For corpora past that, the linear passage-leak
+    contract (ext_ngram_overlap_decontamination / _bloom, value-verified
+    at 2700x) is the deployable decontamination."""
     from kafka_etl_automation_spark.operators import curation
 
     t = load_tables(spark, sf_dir, names=("documents",))

@@ -36,7 +36,23 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Broadcast policy (r09): static threshold stays enabled — small
+        # dims and EAGERLY-MATERIALIZED caches (whose InMemoryRelation
+        # stats are measured, not estimated) broadcast as usual — but any
+        # frame whose size the static planner can only ESTIMATE through a
+        # Generate must never reach a broadcast build side: Catalyst does
+        # not multiply row counts through explode, so corpus-sized frames
+        # "look" tiny (caught live at the 2700x octave: the containment
+        # check's ~600M-row gram set overflowed driver maxResultSize).
+        # Those sites carry explicit shuffle_hash hints / eager cache
+        # materialization; tools/audit_plans.py's BroadcastOverGenerate
+        # check guards the class structurally. The adaptive threshold adds
+        # runtime-measured conversions for shuffle-stage inputs.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(64 * 1024 * 1024),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")

@@ -64,15 +64,28 @@ ALLOW = {
     # dense time spine x broadcast distinct-types grid: |hours| x |types|
     # rows by construction, independent of corpus size
     "ext_gapfill": {"BroadcastNestedLoopJoin"},
+    # broadcast build side is the k=16 centroid frame (Generate over
+    # collect_list'd cell summaries) — BOUNDED BY k, never by the corpus
+    "ext_kmeans_convergence": {"BroadcastOverGenerate"},
+    # broadcast build side is explode(sequence) over DISTINCT (lo, hi)
+    # range endpoints of p_size — bounded by the dimension's value domain
+    # (~50 sizes x a few grid cells), never by fact cardinality
+    "ext_range_join": {"BroadcastOverGenerate"},
 }
 
 HARD = ("CartesianProduct", "BatchEvalPython")
 
 
 def broadcast_over_generate(tree: str) -> bool:
-    """True if any BroadcastExchange's SUBTREE contains a Generate — the
-    explode-derived-build-side structure whose Catalyst size estimate is
-    bogus at corpus scale (see module docstring). Parses the plan tree's
+    """True if any BroadcastExchange's SUBTREE contains a Generate that is
+    NOT itself under an InMemoryRelation — the explode-derived-build-side
+    structure whose Catalyst size estimate is bogus at corpus scale (see
+    module docstring). An InMemoryRelation is a stats boundary: this
+    repo's convention is persist + EAGER count() (grep 'eager' in
+    operators/), so a cached subtree reports its MEASURED size and a
+    broadcast over it is size-sound at any SF; the convention is what
+    makes this exemption valid — a persist without the eager count would
+    still plan from the child estimate. Parses the plan tree's
     indentation: a node's children carry a strictly longer structural
     prefix ('   :- ', '   +- ', ...) until the prefix returns to the
     node's own length."""
@@ -88,7 +101,17 @@ def broadcast_over_generate(tree: str) -> bool:
         for nxt in lines[i + 1 :]:
             if not nxt.strip():
                 continue
-            if depth(nxt) <= d:
+            if depth(nxt) <= d and "==" not in nxt:
+                break
+            if "InMemoryTableScan" in nxt or "InMemoryRelation" in nxt:
+                # Cache boundary: everything below reports MEASURED stats,
+                # and the cached child plan prints through
+                # AdaptiveSparkPlan sections whose '== Final Plan =='
+                # blocks reset the indentation — depth tracking cannot
+                # follow them, so stop scanning this broadcast subtree at
+                # the first cache. An estimate derived FROM a measured
+                # cache (filter/distinct over it) is bounded by the
+                # measured size, so it is size-sound too.
                 break
             if "Generate" in nxt:
                 return True
