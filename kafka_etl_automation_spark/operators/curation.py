@@ -404,9 +404,18 @@ def decontaminate_canonical_lsh(
     num_hashes: int = 64,
     bands: int = 32,
     max_bucket: int = 1000,
+    verify: str = "grouped",
 ) -> DataFrame:
     """The deployable decontaminate-against-deduped-corpus shape, with ONE
     shared signature build feeding both LSH passes (VERDICT r07 #2).
+
+    ``verify`` defaults to per-BUCKET grouped verification (VERDICT r09
+    #1): the r09 2700x probe measured 1.3e9 surviving pass-2 candidates x
+    ~750B of signature sets ≈ 1 TB of per-pair verify shuffle (ENOSPC);
+    grouped verification ships each bucket's c sets once — linear in
+    banded rows — and enumerates pairs post-shuffle inside the bucket row.
+    Value-identical to verify="pairs" (pinned in minhash_lsh_pairs'
+    equality test); see BENCH_SCALE.md round 10 for the measured octaves.
 
     Semantics are identical to ``decontaminate_canonical`` with star-scope
     minhash as keep_pair_source and bipartite minhash as
@@ -470,6 +479,7 @@ def decontaminate_canonical_lsh(
         collapse_exact=False,
         candidate_scope="star",
         sig_source=train_sig,
+        verify=verify,
     )
     comp = dedup.connected_components(
         keep_pairs, train_sig.select(F.col("id").alias(id_col)), id_col=id_col
@@ -496,6 +506,7 @@ def decontaminate_canonical_lsh(
         collapse_exact=False,
         sig_source=corpus_sig,
         bipartite_col="_lbl",
+        verify=verify,
     )
     # Report aggregation at the REP level, then fan out: every raw eval
     # member inherits exactly its rep's matches (identical signatures ->
@@ -818,7 +829,11 @@ def ngram_overlap_decontamination_bloom(
     spark = documents.sparkSession
     if segments is None:
         segments = spark.sparkContext.defaultParallelism
-    # keep each segment's bit array <= ~32 MiB so probe tasks stay cheap
+    # keep each segment's PACKED blob <= ~32 MiB so probe tasks stay cheap.
+    # NB: the BUILD task transiently allocates a byte-per-bit scatter array
+    # of m_seg bytes — 8x the packed blob, up to 256 MiB per build task at
+    # this cap (ADVICE r09) — so size executor memory to the build array,
+    # not the blob; probe tasks only ever touch the packed form.
     max_seg_bits = 32 * 1024 * 1024 * 8
     segments = max(int(segments), (m_total + max_seg_bits - 1) // max_seg_bits)
     # power of two so positions mask instead of uint64-modulo (the mod was
@@ -854,19 +869,19 @@ def ngram_overlap_decontamination_bloom(
         )
 
     def _probe(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        # the id column keeps whatever dtype Arrow handed over (long,
+        # string, ...) — no int64 casts on it, so any id_col type the
+        # operator family accepts works here too (ADVICE r09)
         if left.empty:
             return pd.DataFrame(
-                {"id": pd.Series(dtype="int64"),
+                {"id": left["id"],
                  "n_part": pd.Series(dtype="int64"),
                  "n_hit": pd.Series(dtype="int64")}
             )
         if right.empty:  # no train grams landed in this segment
-            out = left.groupby("id").size()
-            return pd.DataFrame(
-                {"id": out.index.to_numpy(np.int64),
-                 "n_part": out.to_numpy(np.int64),
-                 "n_hit": np.zeros(len(out), dtype=np.int64)}
-            )
+            out = left.groupby("id").size().reset_index(name="n_part")
+            out["n_hit"] = np.zeros(len(out), dtype=np.int64)
+            return out
         packed = np.frombuffer(right["bloom"].iloc[0], dtype=np.uint8)
         g = left["g"].to_numpy(np.int64).astype(np.uint64)
         ok = np.ones(len(g), dtype=bool)
@@ -874,11 +889,14 @@ def ngram_overlap_decontamination_bloom(
             byte = packed[(pos >> np.uint64(3)).astype(np.int64)]
             ok &= ((byte >> (pos & np.uint64(7)).astype(np.uint8))
                    & np.uint8(1)).astype(bool)
-        agg = pd.DataFrame(
-            {"id": left["id"].to_numpy(np.int64), "hit": ok.astype(np.int64)}
-        ).groupby("id")["hit"].agg(["size", "sum"])
+        agg = (
+            pd.DataFrame({"id": left["id"], "hit": ok.astype(np.int64)})
+            .groupby("id")["hit"]
+            .agg(["size", "sum"])
+            .reset_index()
+        )
         return pd.DataFrame(
-            {"id": agg.index.to_numpy(np.int64),
+            {"id": agg["id"],
              "n_part": agg["size"].to_numpy(np.int64),
              "n_hit": agg["sum"].to_numpy(np.int64)}
         )
@@ -891,13 +909,16 @@ def ngram_overlap_decontamination_bloom(
         .groupBy("seg")
         .applyInPandas(_build, schema="seg int, bloom binary")
     )
+    # id schema derives from the input (ADVICE r09): the operator family's
+    # generic id_col contract — long, string, ... — not a hardcoded long
+    id_dt = eval_g.schema["id"].dataType.simpleString()
     partials = (
         eval_g.select("id", "g", seg_col)
         .groupBy("seg")
         .cogroup(blooms.groupBy("seg"))
         .applyInPandas(
             lambda left, right: _probe(left, right),
-            schema="id long, n_part long, n_hit long",
+            schema=f"id {id_dt}, n_part long, n_hit long",
         )
     )
     return (

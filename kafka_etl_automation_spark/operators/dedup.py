@@ -489,6 +489,7 @@ def minhash_lsh_pairs(
     sig_source: DataFrame | None = None,
     bipartite_col: str | None = None,
     members: DataFrame | None = None,
+    verify: str = "grouped",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH, verified with exact
     Jaccard over the 64-bit shingle-hash sets so the output has no false
@@ -523,6 +524,32 @@ def minhash_lsh_pairs(
     the label is evaluated once per distinct-text rep and inherited by
     every member, which is exact iff identical texts share a label.
 
+    ``verify``:
+      - ``"pairs"`` (the r09 shape, kept as the A/B + equality reference):
+        distinct candidate pairs re-join both signature sets — each
+        surviving candidate ships TWO ~|sh|-sized array copies through
+        the verify joins, so verify shuffle bytes are quadratic in bucket
+        occupancy (the measured 2700x ceiling: 1.3e9 surviving pairs x
+        ~750B of sets ≈ 1 TB of shuffle, ENOSPC — VERDICT r09 #1).
+      - ``"grouped"`` (DEFAULT — per-BUCKET grouped verification, adopted
+        board-wide after the r10 gate-SF A/B read it faster on all three
+        contracts: minhash 3.90->3.81s, star keep-list 5.67->4.81s,
+        canonical decon 9.25->8.14s, rows identical): surviving bucket
+        members (bucket size in [2, max_bucket]) join their hash set ONCE
+        PER BUCKET MEMBERSHIP (<= bands copies per doc — LINEAR in corpus
+        size), aggregate to one row per bucket holding the bucket's c
+        sets, and pair enumeration happens POST-shuffle inside the bucket
+        row via two chained explode(sequence)+element_at generates (the
+        r09 zero-copy pattern: the docs array stays a codegen variable,
+        indexed not copied). A pair co-occurring in several buckets is
+        re-verified per bucket (exact Jaccard is deterministic, so the
+        final distinct() collapses them to the identical row); at the
+        thresholds where buckets flood (families straddling t, r small)
+        co-occurrence is ~1 band, so the re-verify tax is small exactly
+        where the shuffle savings are large. Value-identical to "pairs"
+        by construction — pinned by
+        tests/test_operators.py::test_grouped_verify_matches_pairs.
+
     ``collapse_exact`` (default on — the deployable shape) runs the whole
     LSH pipeline on DISTINCT texts only and fans verified pairs back out
     to members (`_exact_text_collapse`): identical texts have identical
@@ -555,6 +582,8 @@ def minhash_lsh_pairs(
         raise ValueError(
             f"candidate_scope must be 'all' or 'star', got {candidate_scope!r}"
         )
+    if verify not in ("pairs", "grouped"):
+        raise ValueError(f"verify must be 'pairs' or 'grouped', got {verify!r}")
     if candidate_scope == "star" and bipartite is not None:
         raise ValueError(
             "candidate_scope='star' and bipartite are mutually exclusive: "
@@ -715,11 +744,10 @@ def minhash_lsh_pairs(
             .distinct()
         )
     else:
-        banded_ok = (
-            banded.withColumn("bsz", F.count(F.lit(1)).over(wb))
-            .filter(F.col("bsz") <= max_bucket)
-            .select("id", *band_cols, "band", "bkey")
+        sized = banded.withColumn("bsz", F.count(F.lit(1)).over(wb)).filter(
+            F.col("bsz") <= max_bucket
         )
+        banded_ok = sized.select("id", *band_cols, "band", "bkey")
         x, y = banded_ok.alias("x"), banded_ok.alias("y")
         join_cond = (
             (F.col("x.band") == F.col("y.band"))
@@ -742,43 +770,115 @@ def minhash_lsh_pairs(
         # Probe-only instrumentation (tools/dedup_probe.py): attribute the
         # candidate stage's cost. join_work = the exact number of candidate
         # emissions: sum C(bucket,2) for the all-pairs self-join, sum
-        # (bucket-1) for star's window-min edges.
+        # (bucket-1) for star's window-min edges. The max_bucket cap is
+        # NOT silent (VERDICT r09 #2): dropped_buckets / dropped_emissions
+        # report exactly what the cap discarded, from the PRE-filter
+        # bucket sizes in the same one aggregation.
         work = (
             (F.col("count") - 1)
             if candidate_scope == "star"
             else F.col("count") * (F.col("count") - 1) / 2
         )
+        kept = F.col("count") <= max_bucket
         bw = (
-            banded_ok.groupBy("band", "bkey")
+            banded.groupBy("band", "bkey")
             .count()
             .agg(
-                F.sum(work).alias("w"),
-                F.max("count").alias("m"),
+                F.sum(F.when(kept, work)).alias("w"),
+                F.max(F.when(kept, F.col("count"))).alias("m"),
+                F.sum((~kept).cast("long")).alias("db"),
+                F.sum(F.when(~kept, work)).alias("de"),
             )
             .collect()[0]
         )
         stats["bucket_join_work"] = int(bw["w"] or 0)
         stats["max_bucket_size"] = int(bw["m"] or 0)
+        stats["dropped_buckets"] = int(bw["db"] or 0)
+        stats["dropped_emissions"] = int(bw["de"] or 0)
         stats["candidates_distinct"] = cand.count()
 
-    # Exact verification on candidates only: each pair re-joins the two
-    # hash SETS and intersects them worker-side — no inverted index, no
-    # per-shingle rows.
-    pa = src.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    pb = src.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    verified = (
-        cand.join(pa, "id_a")
-        .join(pb, "id_b")
-        .withColumn("n_inter", n_inter)
-        .withColumn(
-            "jaccard",
-            F.col("n_inter")
-            / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+    if verify == "grouped":
+        # Per-BUCKET grouped verification (VERDICT r09 #1): ship each
+        # bucket's c signature sets ONCE, not c² pair copies. Members of
+        # buckets that can emit (2 <= bsz <= max_bucket) join their hash
+        # set by id — <= bands copies per doc, linear in corpus size —
+        # then ONE (band, bkey) aggregation materializes each bucket as a
+        # single row of id-sorted (id[, _lbl], sh) structs. Pair
+        # enumeration + exact Jaccard run AFTER that shuffle, inside the
+        # bucket row: explode(sequence) + element_at keep the struct
+        # array a codegen variable (indexed, never copied — the r09
+        # shingle pattern), and only pairs >= threshold survive into the
+        # final narrow distinct. Struct sort is by leading field = id, so
+        # i < j gives id_a < id_b exactly like the self-join's x.id < y.id.
+        vcols = (["_lbl"] if band_cols else []) + ["sh"]
+        pool = sized.filter(F.col("bsz") >= 2).select("id", "band", "bkey")
+        if band_cols:
+            # _lbl rides src (sig_source mode) or joins on via lbl — in
+            # both cases band_src carries it alongside sh
+            sh_map = band_src.select("id", "_lbl", "sh")
+        else:
+            sh_map = src.select("id", "sh")
+        grouped = (
+            pool.join(sh_map, "id")
+            .groupBy("band", "bkey")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("id"), *[F.col(c) for c in vcols]))
+                ).alias("ds")
+            )
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+        csz = F.size("ds")
+        if candidate_scope == "star":
+            # docs[1] is the bucket min (id-sorted structs); edges
+            # (docs[1], docs[j]) for j in 2..c — same star contract.
+            ex = grouped.select(
+                "ds", F.lit(1).alias("i"),
+                F.explode(F.sequence(F.lit(2), csz)).alias("j"),
+            )
+        else:
+            ex = grouped.select(
+                "ds", F.explode(F.sequence(F.lit(1), csz - 1)).alias("i")
+            ).select(
+                "ds", "i",
+                F.explode(F.sequence(F.col("i") + 1, F.size("ds"))).alias("j"),
+            )
+        a = F.element_at("ds", F.col("i"))
+        b = F.element_at("ds", F.col("j"))
+        sh_a, sh_b = a.getField("sh"), b.getField("sh")
+        n_inter = F.size(F.array_intersect(sh_a, sh_b))
+        jac = n_inter / (F.size(sh_a) + F.size(sh_b) - n_inter)
+        if band_cols:
+            # cross-label contract: the guard also skips the intersect on
+            # same-label pairs (when/otherwise compiles to a branch)
+            jac = F.when(a.getField("_lbl") != b.getField("_lbl"), jac)
+        verified = (
+            ex.select(
+                a.getField("id").alias("id_a"),
+                b.getField("id").alias("id_b"),
+                jac.alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .distinct()
+        )
+    else:
+        # Exact verification on candidates only: each pair re-joins the two
+        # hash SETS and intersects them worker-side — no inverted index, no
+        # per-shingle rows.
+        pa = src.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+        pb = src.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+        n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        verified = (
+            cand.join(pa, "id_a")
+            .join(pb, "id_b")
+            .withColumn("n_inter", n_inter)
+            .withColumn(
+                "jaccard",
+                F.col("n_inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     if members is None:
         return verified
     # jaccard(S, S) = n/n, exactly 1.0 in IEEE — same value the
@@ -1037,6 +1137,7 @@ def simhash_near_pairs(
     chunks: int = 4,
     collapse_exact: bool = True,
     max_bucket: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance <= max_hamming.
 
@@ -1060,7 +1161,10 @@ def simhash_near_pairs(
     buckets, so at billions of documents every bucket is crowded and the
     pigeonhole join goes quadratic regardless of duplicate structure; at
     that scale cap the buckets (trading the recall guarantee for bounded
-    work) or widen the fingerprint/chunks."""
+    work) or widen the fingerprint/chunks. The cap is never silent: pass
+    ``stats`` (probe-only — it forces one count) to receive
+    dropped_buckets / dropped_emissions, same contract as
+    minhash_lsh_pairs (VERDICT r09 #2)."""
     if max_hamming >= chunks:
         raise ValueError(
             f"simhash_near_pairs requires max_hamming < chunks for full recall "
@@ -1093,6 +1197,23 @@ def simhash_near_pairs(
         ).alias("bb"),
     ).select("id", "simhash", F.col("bb.chunk").alias("chunk"), F.col("bb.ckey").alias("ckey"))
     if max_bucket is not None:
+        if stats is not None:
+            # loud cap (VERDICT r09 #2): what did the cap discard?
+            kept = F.col("count") <= max_bucket
+            work = F.col("count") * (F.col("count") - 1) / 2
+            bw = (
+                banded.groupBy("chunk", "ckey")
+                .count()
+                .agg(
+                    F.sum(F.when(kept, work)).alias("w"),
+                    F.sum((~kept).cast("long")).alias("db"),
+                    F.sum(F.when(~kept, work)).alias("de"),
+                )
+                .collect()[0]
+            )
+            stats["bucket_join_work"] = int(bw["w"] or 0)
+            stats["dropped_buckets"] = int(bw["db"] or 0)
+            stats["dropped_emissions"] = int(bw["de"] or 0)
         # same count-window shape as minhash_lsh_pairs: the sizing
         # exchange IS the self-join's partitioning
         from pyspark.sql import Window

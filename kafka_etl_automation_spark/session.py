@@ -79,7 +79,16 @@ def get_spark(
     try:
         jsys = spark.sparkContext._jvm.java.lang.System
         if jsys.getProperty("derby.stream.error.file") is None:
-            jsys.setProperty("derby.stream.error.file", "/tmp/derby.log")
+            # Per-process path (ADVICE r09): a fixed /tmp/derby.log breaks
+            # on shared hosts (another user's file is unopenable; parallel
+            # sessions contend on one stream) — key it by pid under the
+            # platform tempdir instead.
+            import tempfile
+
+            jsys.setProperty(
+                "derby.stream.error.file",
+                os.path.join(tempfile.gettempdir(), f"derby-{os.getpid()}.log"),
+            )
     except Exception:
         pass  # py4j internals drift -> cosmetic guard only, never fatal
     return spark

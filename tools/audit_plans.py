@@ -76,46 +76,61 @@ ALLOW = {
 HARD = ("CartesianProduct", "BatchEvalPython")
 
 
-def broadcast_over_generate(tree: str) -> bool:
+def broadcast_over_generate(plan_node) -> bool:
     """True if any BroadcastExchange's SUBTREE contains a Generate that is
-    NOT itself under an InMemoryRelation — the explode-derived-build-side
+    NOT itself behind an InMemoryTableScan — the explode-derived-build-side
     structure whose Catalyst size estimate is bogus at corpus scale (see
-    module docstring). An InMemoryRelation is a stats boundary: this
+    module docstring). An InMemoryTableScan is a stats boundary: this
     repo's convention is persist + EAGER count() (grep 'eager' in
     operators/), so a cached subtree reports its MEASURED size and a
     broadcast over it is size-sound at any SF; the convention is what
     makes this exemption valid — a persist without the eager count would
-    still plan from the child estimate. Parses the plan tree's
-    indentation: a node's children carry a strictly longer structural
-    prefix ('   :- ', '   +- ', ...) until the prefix returns to the
-    node's own length."""
-    lines = tree.splitlines()
+    still plan from the child estimate.
 
-    def depth(line: str) -> int:
-        return len(re.match(r"^[ :+\-*]*", line).group(0))
+    Implementation walks the JVM SparkPlan TREE, not the toString text
+    (ADVICE r09 asked for depth-tracked text skipping; building that
+    exposed why the r09 version broke out early instead — materialized
+    InMemoryRelations print their cached plan INLINE as nested
+    AdaptiveSparkPlan '== Final Plan ==' sections whose indentation is
+    NOT monotone with tree depth, e.g. an inner cache's section can pop
+    back SHALLOWER than the outer cache node, so any text parser either
+    misses sibling-branch Generates (r09: break at first cache) or
+    false-positives on Generates inside the measured cached plan (the
+    depth-tracked variant, observed live on ext_simhash_pairs). On the
+    object tree InMemoryTableScanExec is a LEAF — the cached plan hangs
+    off the relation, not children() — so the boundary is structural).
+    AQE wrappers hide their subtree outside children(): AdaptiveSparkPlan
+    via inputPlan(), query stages via plan() — probed defensively so
+    internal-API drift degrades to not descending, never to an error."""
 
-    for i, line in enumerate(lines):
-        if "BroadcastExchange" not in line:
-            continue
-        d = depth(line)
-        for nxt in lines[i + 1 :]:
-            if not nxt.strip():
-                continue
-            if depth(nxt) <= d and "==" not in nxt:
-                break
-            if "InMemoryTableScan" in nxt or "InMemoryRelation" in nxt:
-                # Cache boundary: everything below reports MEASURED stats,
-                # and the cached child plan prints through
-                # AdaptiveSparkPlan sections whose '== Final Plan =='
-                # blocks reset the indentation — depth tracking cannot
-                # follow them, so stop scanning this broadcast subtree at
-                # the first cache. An estimate derived FROM a measured
-                # cache (filter/distinct over it) is bounded by the
-                # measured size, so it is size-sound too.
-                break
-            if "Generate" in nxt:
+    def walk(node, under_broadcast: bool) -> bool:
+        name = node.getClass().getSimpleName()
+        if name.startswith("InMemoryTableScan"):
+            return False  # measured-cache boundary (eager-count convention)
+        if under_broadcast and name.startswith("Generate"):
+            return True
+        ub = under_broadcast or name.startswith("BroadcastExchange")
+        kids = node.children()
+        for i in range(kids.length()):
+            if walk(kids.apply(i), ub):
                 return True
-    return False
+        if kids.length() == 0 and not name.startswith(
+            ("FileSourceScan", "Scan", "Range", "LocalTableScan", "RDDScan")
+        ):
+            # wrapper leaves (AdaptiveSparkPlan, Shuffle/BroadcastQueryStage,
+            # ReusedExchange, ...) keep their real subtree off children().
+            # AdaptiveSparkPlan MUST descend initialPlan, not inputPlan:
+            # inputPlan predates EnsureRequirements, so it carries no
+            # BroadcastExchange nodes at all (verified empirically — the
+            # inputPlan walk read every broadcast query as clean).
+            for acc in ("initialPlan", "plan", "child"):
+                try:
+                    return walk(getattr(node, acc)(), ub)
+                except Exception:
+                    continue
+        return False
+
+    return walk(plan_node, False)
 
 
 def main() -> int:
@@ -138,9 +153,8 @@ def main() -> int:
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
         plan = buf.getvalue()
-        tree = df._jdf.queryExecution().executedPlan().toString()
         flags = [p for p in HARD if p in plan]
-        if broadcast_over_generate(tree):
+        if broadcast_over_generate(df._jdf.queryExecution().executedPlan()):
             flags.append("BroadcastOverGenerate")
         bnl = "BroadcastNestedLoopJoin" in plan
         wsc = len(set(re.findall(r"codegen id : (\d+)", plan)))

@@ -84,6 +84,14 @@ def main() -> int:
         assert set(exact) <= set(bloom), "superset violated"
         extra_docs = len(bloom) - len(exact)
         fp_grams = sum(bloom[k] - exact.get(k, 0) for k in bloom)
+        # denominator for the per-gram FP rate (VERDICT r09 #3): every
+        # distinct eval gram is probed against the filter exactly once
+        from kafka_etl_automation_spark.operators import text as _text
+
+        split = _text.hash_split("text", 90)
+        probes = curation._gram_keys(
+            docs.filter(split == "eval"), "text", "doc_id", 8
+        ).count()
         print(
             json.dumps(
                 {
@@ -93,6 +101,8 @@ def main() -> int:
                     "extra_flagged_docs": extra_docs,
                     "extra_flagged_frac": round(extra_docs / max(len(exact), 1), 6),
                     "fp_gram_hits": fp_grams,
+                    "eval_grams_probed": probes,
+                    "fp_gram_rate": round(fp_grams / max(probes, 1), 12),
                 }
             ),
             flush=True,

@@ -13,8 +13,19 @@ and eval-coverage for canonical decontamination (fraction of the exact
 twin's contaminated eval docs reported). Use an octave where the exact
 O(pairs) twins still run (30x); the records land beside the walls.
 
+``--cap-recall DIR`` (VERDICT r09 #2) isolates what the max_bucket=1000
+cap alone discards, at octaves where the exact twins CANNOT run (at 300x
+their inverted-index verify would shuffle ~400 GB — over this box's
+disk): LSH candidates are exact-verified, so the UNCAPPED run's output
+pairs are all TRUE pairs and capped-vs-uncapped measures exactly the
+fraction of true pairs that lived in capped-out buckets — the silent
+loss channel the r09 verdict flagged. Banding recall (the other loss
+channel) stays pinned against the exact twins by ``--recall`` at 30x.
+Emits cap merge-recall, cap eval-coverage, and the capped runs'
+dropped_buckets / dropped_emissions stats.
+
 Usage: python tools/dedup_ladder.py DIR [DIR...] [--queries a,b]
-       [--runs 2] [--recall DIR]
+       [--runs 2] [--recall DIR] [--cap-recall DIR]
 """
 
 from __future__ import annotations
@@ -46,6 +57,11 @@ def main() -> int:
     if "--recall" in argv:
         i = argv.index("--recall")
         recall_dir = argv[i + 1]
+        del argv[i : i + 2]
+    cap_recall_dir = None
+    if "--cap-recall" in argv:
+        i = argv.index("--cap-recall")
+        cap_recall_dir = argv[i + 1]
         del argv[i : i + 2]
     dirs = argv or ["/tmp/sf3.0", "/tmp/sf10.0", "/tmp/sf30.0"]
 
@@ -121,6 +137,73 @@ def main() -> int:
             "evals_lsh": len(lsh_ev),
             "evals_exact": len(exact_ev),
             "value": round(cov, 5),
+        }
+        print(json.dumps(rec), flush=True)
+        out.append(rec)
+
+    if cap_recall_dir:
+        from kafka_etl_automation_spark.catalog import load_tables
+        from kafka_etl_automation_spark.operators import curation, dedup
+
+        docs = load_tables(spark, cap_recall_dir, names=("documents",))[
+            "documents"
+        ]
+        n_docs = docs.count()
+        UNCAP = 10**9
+
+        def keep_list(max_bucket, stats=None):
+            return dedup.canonical_keep_list(
+                docs,
+                pair_source=lambda reps: dedup.minhash_lsh_pairs(
+                    reps, n=3, num_hashes=64, bands=16, threshold=0.5,
+                    collapse_exact=False, candidate_scope="star",
+                    max_bucket=max_bucket, stats=stats,
+                ),
+            )
+
+        st_cap: dict = {}
+        k_cap = keep_list(1000, st_cap).count()
+        spark.catalog.clearCache()
+        k_uncap = keep_list(UNCAP).count()
+        spark.catalog.clearCache()
+        rec = {
+            "metric": "cap_merge_recall",
+            "sf_dir": cap_recall_dir,
+            "n_docs": n_docs,
+            "keep_capped": k_cap,
+            "keep_uncapped": k_uncap,
+            "dropped_buckets": st_cap.get("dropped_buckets"),
+            "dropped_emissions": st_cap.get("dropped_emissions"),
+            "value": round(
+                (n_docs - k_cap) / (n_docs - k_uncap)
+                if n_docs > k_uncap
+                else 1.0,
+                5,
+            ),
+        }
+        print(json.dumps(rec), flush=True)
+        out.append(rec)
+
+        def decon_evals(max_bucket):
+            return {
+                r.eval_doc_id
+                for r in curation.decontaminate_canonical_lsh(
+                    docs, max_bucket=max_bucket
+                ).collect()
+            }
+
+        ev_cap = decon_evals(1000)
+        spark.catalog.clearCache()
+        ev_uncap = decon_evals(UNCAP)
+        spark.catalog.clearCache()
+        rec = {
+            "metric": "cap_eval_coverage",
+            "sf_dir": cap_recall_dir,
+            "evals_capped": len(ev_cap),
+            "evals_uncapped": len(ev_uncap),
+            "value": round(
+                len(ev_cap & ev_uncap) / len(ev_uncap) if ev_uncap else 1.0, 5
+            ),
         }
         print(json.dumps(rec), flush=True)
         out.append(rec)
