@@ -71,7 +71,10 @@ def main() -> int:
     spark = get_spark("dedup-ladder")
     qs = entry_mod.queries()
     out = []
-    for sf_dir in dirs:
+    # --runs 0 skips the timing ladder entirely — run ONLY the --recall /
+    # --cap-recall measurement passes (they are expensive enough to want
+    # their own solo invocation)
+    for sf_dir in dirs if runs > 0 else []:
         for name in qnames:
             walls, rows = [], None
             for _ in range(runs):
