@@ -404,18 +404,24 @@ def decontaminate_canonical_lsh(
     num_hashes: int = 64,
     bands: int = 32,
     max_bucket: int = 1000,
-    verify: str = "grouped",
+    verify: str | None = None,
 ) -> DataFrame:
     """The deployable decontaminate-against-deduped-corpus shape, with ONE
     shared signature build feeding both LSH passes (VERDICT r07 #2).
 
-    ``verify`` defaults to per-BUCKET grouped verification (VERDICT r09
-    #1): the r09 2700x probe measured 1.3e9 surviving pass-2 candidates x
-    ~750B of signature sets ≈ 1 TB of per-pair verify shuffle (ENOSPC);
-    grouped verification ships each bucket's c sets once — linear in
-    banded rows — and enumerates pairs post-shuffle inside the bucket row.
-    Value-identical to verify="pairs" (pinned in minhash_lsh_pairs'
-    equality test); see BENCH_SCALE.md round 10 for the measured octaves.
+    ``verify`` defaults to None = contract-aware per pass (the r10
+    measured shape): pass 1's STAR keep-list verifies per-pair (its
+    distinct candidate volume is linear, and grouped's per-membership
+    shipping + per-band re-verification measured 2x slower at the
+    octaves), while pass 2's BIPARTITE banding verifies per-BUCKET
+    grouped (VERDICT r09 #1): the r09 2700x probe measured 1.3e9
+    surviving pass-2 candidates x ~750B of signature sets ≈ 1 TB of
+    per-pair verify shuffle (ENOSPC); grouped verification ships each
+    bucket's c sets once — linear in banded rows — and enumerates pairs
+    post-shuffle inside the bucket row. Pass an explicit "pairs"/"grouped"
+    to force BOTH passes (the A/B knob). Value-identical either way
+    (pinned in minhash_lsh_pairs' equality test); see BENCH_SCALE.md
+    round 10 for the measured octaves and the crossover.
 
     Semantics are identical to ``decontaminate_canonical`` with star-scope
     minhash as keep_pair_source and bipartite minhash as

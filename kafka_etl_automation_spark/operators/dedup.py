@@ -489,7 +489,7 @@ def minhash_lsh_pairs(
     sig_source: DataFrame | None = None,
     bipartite_col: str | None = None,
     members: DataFrame | None = None,
-    verify: str = "grouped",
+    verify: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH, verified with exact
     Jaccard over the 64-bit shingle-hash sets so the output has no false
@@ -524,19 +524,27 @@ def minhash_lsh_pairs(
     the label is evaluated once per distinct-text rep and inherited by
     every member, which is exact iff identical texts share a label.
 
-    ``verify``:
-      - ``"pairs"`` (the r09 shape, kept as the A/B + equality reference):
-        distinct candidate pairs re-join both signature sets — each
-        surviving candidate ships TWO ~|sh|-sized array copies through
-        the verify joins, so verify shuffle bytes are quadratic in bucket
-        occupancy (the measured 2700x ceiling: 1.3e9 surviving pairs x
-        ~750B of sets ≈ 1 TB of shuffle, ENOSPC — VERDICT r09 #1).
-      - ``"grouped"`` (DEFAULT — per-BUCKET grouped verification, adopted
-        board-wide after the r10 gate-SF A/B read it faster on all three
-        contracts: minhash 3.90->3.81s, star keep-list 5.67->4.81s,
-        canonical decon 9.25->8.14s, rows identical): surviving bucket
-        members (bucket size in [2, max_bucket]) join their hash set ONCE
-        PER BUCKET MEMBERSHIP (<= bands copies per doc — LINEAR in corpus
+    ``verify`` (default ``None`` = CONTRACT-AWARE: ``"pairs"`` for
+    ``candidate_scope="star"``, ``"grouped"`` otherwise — the r10 octave
+    ladder measured the crossover, BENCH_SCALE.md round 10):
+      - ``"pairs"`` (the r09 shape; the star default): distinct candidate
+        pairs re-join both signature sets — each surviving candidate
+        ships TWO ~|sh|-sized array copies through the verify joins, so
+        verify shuffle bytes are quadratic in bucket occupancy (the
+        measured 2700x ceiling: 1.3e9 surviving pairs x ~750B of sets ≈
+        1 TB of shuffle, ENOSPC — VERDICT r09 #1). Star's candidate
+        volume is LINEAR by construction (few distinct pairs per doc
+        after the cross-band distinct), so shipping two sets per
+        DISTINCT pair beats grouped's one-copy-per-surviving-membership
+        (~bands per doc) plus its per-band re-verification — tight dup
+        families at the dedup threshold co-occur in most of the 16
+        r=4 bands, so grouped re-intersects each star edge up to 16x:
+        measured 16.5s vs 31.8s at 30x and 46.3s vs 112.7s at 300x on
+        the keep-list pipeline.
+      - ``"grouped"`` (per-BUCKET grouped verification; the default for
+        the all-pairs and bipartite contracts): surviving bucket members
+        (bucket size in [2, max_bucket]) join their hash set ONCE PER
+        BUCKET MEMBERSHIP (<= bands copies per doc — LINEAR in corpus
         size), aggregate to one row per bucket holding the bucket's c
         sets, and pair enumeration happens POST-shuffle inside the bucket
         row via two chained explode(sequence)+element_at generates (the
@@ -544,10 +552,14 @@ def minhash_lsh_pairs(
         indexed not copied). A pair co-occurring in several buckets is
         re-verified per bucket (exact Jaccard is deterministic, so the
         final distinct() collapses them to the identical row); at the
-        thresholds where buckets flood (families straddling t, r small)
-        co-occurrence is ~1 band, so the re-verify tax is small exactly
-        where the shuffle savings are large. Value-identical to "pairs"
-        by construction — pinned by
+        thresholds where buckets FLOOD (families straddling t, r small —
+        the decontamination ceiling case) surviving pairs outnumber
+        memberships ~8x at 1.3e9 candidates x ~750B sets, so grouped's
+        linear shipping is the 100 TB shape exactly where pairs-mode
+        ENOSPCs, and co-occurrence there is ~1 band so the re-verify tax
+        is nil. Gate-SF A/B: minhash all-pairs 3.90->3.81s, canonical
+        decon 9.25->8.14s, rows identical. Value-identical to "pairs" by
+        construction — pinned by
         tests/test_operators.py::test_grouped_verify_matches_pairs.
 
     ``collapse_exact`` (default on — the deployable shape) runs the whole
@@ -582,6 +594,8 @@ def minhash_lsh_pairs(
         raise ValueError(
             f"candidate_scope must be 'all' or 'star', got {candidate_scope!r}"
         )
+    if verify is None:
+        verify = "pairs" if candidate_scope == "star" else "grouped"
     if verify not in ("pairs", "grouped"):
         raise ValueError(f"verify must be 'pairs' or 'grouped', got {verify!r}")
     if candidate_scope == "star" and bipartite is not None:
@@ -811,7 +825,22 @@ def minhash_lsh_pairs(
         # final narrow distinct. Struct sort is by leading field = id, so
         # i < j gives id_a < id_b exactly like the self-join's x.id < y.id.
         vcols = (["_lbl"] if band_cols else []) + ["sh"]
-        pool = sized.filter(F.col("bsz") >= 2).select("id", "band", "bkey")
+        pool = sized.filter(F.col("bsz") >= 2)
+        if band_cols:
+            # Cross-label contract: a label-PURE bucket (all train or all
+            # eval) can only enumerate same-label pairs — every one
+            # null-jaccard'd by the guard below — yet would still ship its
+            # full signature sets through the grouped shuffle. At the
+            # straddle octaves these are the UNdeduped side's variant
+            # floods (eval families of hundreds of near-identical texts),
+            # so prune them here; the distinct-label count rides the SAME
+            # (band, bkey) window exchange the size filter already pays.
+            # pairs-mode needs no such guard: its join condition
+            # (x._lbl != y._lbl) never emits from pure buckets.
+            pool = pool.withColumn(
+                "_nl", F.size(F.collect_set("_lbl").over(wb))
+            ).filter(F.col("_nl") >= 2)
+        pool = pool.select("id", "band", "bkey")
         if band_cols:
             # _lbl rides src (sig_source mode) or joins on via lbl — in
             # both cases band_src carries it alongside sh
