@@ -822,73 +822,150 @@ def minhash_lsh_pairs(
         # bucket row: explode(sequence) + element_at keep the struct
         # array a codegen variable (indexed, never copied — the r09
         # shingle pattern), and only pairs >= threshold survive into the
-        # final narrow distinct. Struct sort is by leading field = id, so
-        # i < j gives id_a < id_b exactly like the self-join's x.id < y.id.
-        vcols = (["_lbl"] if band_cols else []) + ["sh"]
+        # final narrow distinct. The label-free contracts sort structs by
+        # leading field = id, so i < j gives id_a < id_b exactly like the
+        # self-join's x.id < y.id; the cross-label contract block-splits
+        # each bucket by label instead (see below) and orders ids with
+        # least/greatest.
+        def _jac(a, b):
+            sh_a, sh_b = a.getField("sh"), b.getField("sh")
+            n_inter = F.size(F.array_intersect(sh_a, sh_b))
+            return n_inter / (F.size(sh_a) + F.size(sh_b) - n_inter)
+
         pool = sized.filter(F.col("bsz") >= 2)
         if band_cols:
-            # Cross-label contract: a label-PURE bucket (all train or all
-            # eval) can only enumerate same-label pairs — every one
-            # null-jaccard'd by the guard below — yet would still ship its
-            # full signature sets through the grouped shuffle. At the
-            # straddle octaves these are the UNdeduped side's variant
-            # floods (eval families of hundreds of near-identical texts),
-            # so prune them here; the distinct-label count rides the SAME
-            # (band, bkey) window exchange the size filter already pays.
-            # pairs-mode needs no such guard: its join condition
-            # (x._lbl != y._lbl) never emits from pure buckets.
-            pool = pool.withColumn(
-                "_nl", F.size(F.collect_set("_lbl").over(wb))
-            ).filter(F.col("_nl") >= 2)
-        pool = pool.select("id", "band", "bkey")
-        if band_cols:
+            # Cross-label contract, BLOCK-SPLIT formulation. Two taxes the
+            # naive enumerate-all-pairs-and-guard shape pays and pairs-mode
+            # never did (its join condition skips same-label pairs inside
+            # the join): (1) label-PURE buckets — the undeduped side's
+            # variant floods at the straddle octaves — ship their full
+            # signature sets for zero possible output; (2) MIXED buckets
+            # enumerate their same-label bulk (e.g. eval-eval pairs inside
+            # a family bucket) only to null-guard it. Both die here:
+            # the bucket's distinct-label count and MIN label ride the
+            # SAME (band, bkey) window exchange the size filter pays,
+            # pure buckets are pruned before the grouped shuffle, and the
+            # aggregation splits each bucket into the min-label block
+            # ``da`` vs the rest ``db`` (collect_list skips the
+            # when-nulls), so enumeration is the pure cross product
+            # da x db — every pair cross-label by construction, no guard.
+            # Buckets with >2 distinct labels (impossible for the binary
+            # train/eval split; possible for arbitrary label columns)
+            # additionally enumerate within ``db`` under the label guard —
+            # gated per row by ``nl`` so 2-label buckets emit NOTHING
+            # from that branch (explode of an empty array).
+            pool = (
+                pool.withColumn("_nl", F.size(F.collect_set("_lbl").over(wb)))
+                .withColumn("_lbl0", F.min("_lbl").over(wb))
+                .filter(F.col("_nl") >= 2)
+                .select("id", "band", "bkey", "_nl", "_lbl0")
+            )
             # _lbl rides src (sig_source mode) or joins on via lbl — in
             # both cases band_src carries it alongside sh
             sh_map = band_src.select("id", "_lbl", "sh")
-        else:
-            sh_map = src.select("id", "sh")
-        grouped = (
-            pool.join(sh_map, "id")
-            .groupBy("band", "bkey")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("id"), *[F.col(c) for c in vcols]))
-                ).alias("ds")
+            grouped = (
+                pool.join(sh_map, "id")
+                .groupBy("band", "bkey")
+                .agg(
+                    F.collect_list(
+                        F.when(
+                            F.col("_lbl") == F.col("_lbl0"),
+                            F.struct(F.col("id"), F.col("sh")),
+                        )
+                    ).alias("da"),
+                    F.collect_list(
+                        F.when(
+                            F.col("_lbl") != F.col("_lbl0"),
+                            F.struct(F.col("id"), F.col("_lbl"), F.col("sh")),
+                        )
+                    ).alias("db"),
+                    F.first("_nl").alias("nl"),
+                )
             )
-        )
-        csz = F.size("ds")
-        if candidate_scope == "star":
-            # docs[1] is the bucket min (id-sorted structs); edges
-            # (docs[1], docs[j]) for j in 2..c — same star contract.
-            ex = grouped.select(
-                "ds", F.lit(1).alias("i"),
-                F.explode(F.sequence(F.lit(2), csz)).alias("j"),
-            )
-        else:
-            ex = grouped.select(
-                "ds", F.explode(F.sequence(F.lit(1), csz - 1)).alias("i")
+
+            def _emit(ex, a, b, jac):
+                # pairs-mode orders ids via x.id < y.id in the self-join;
+                # block membership doesn't follow id order, so order here
+                return ex.select(
+                    F.least(a.getField("id"), b.getField("id")).alias("id_a"),
+                    F.greatest(a.getField("id"), b.getField("id")).alias(
+                        "id_b"
+                    ),
+                    jac.alias("jaccard"),
+                ).filter(F.col("jaccard") >= threshold)
+
+            exc = grouped.select(
+                "da", "db",
+                F.explode(F.sequence(F.lit(1), F.size("da"))).alias("i"),
             ).select(
-                "ds", "i",
-                F.explode(F.sequence(F.col("i") + 1, F.size("ds"))).alias("j"),
+                "da", "db", "i",
+                F.explode(F.sequence(F.lit(1), F.size("db"))).alias("j"),
             )
-        a = F.element_at("ds", F.col("i"))
-        b = F.element_at("ds", F.col("j"))
-        sh_a, sh_b = a.getField("sh"), b.getField("sh")
-        n_inter = F.size(F.array_intersect(sh_a, sh_b))
-        jac = n_inter / (F.size(sh_a) + F.size(sh_b) - n_inter)
-        if band_cols:
-            # cross-label contract: the guard also skips the intersect on
-            # same-label pairs (when/otherwise compiles to a branch)
-            jac = F.when(a.getField("_lbl") != b.getField("_lbl"), jac)
-        verified = (
-            ex.select(
-                a.getField("id").alias("id_a"),
-                b.getField("id").alias("id_b"),
-                jac.alias("jaccard"),
+            a_c = F.element_at("da", F.col("i"))
+            b_c = F.element_at("db", F.col("j"))
+            v_cross = _emit(exc, a_c, b_c, _jac(a_c, b_c))
+            exd = grouped.select(
+                "db",
+                F.explode(
+                    F.when(
+                        F.col("nl") > 2,
+                        F.sequence(F.lit(1), F.size("db") - 1),
+                    ).otherwise(F.array().cast("array<int>"))
+                ).alias("i"),
+            ).select(
+                "db", "i",
+                F.explode(F.sequence(F.col("i") + 1, F.size("db"))).alias("j"),
             )
-            .filter(F.col("jaccard") >= threshold)
-            .distinct()
-        )
+            a_d = F.element_at("db", F.col("i"))
+            b_d = F.element_at("db", F.col("j"))
+            v_db = _emit(
+                exd, a_d, b_d,
+                F.when(
+                    a_d.getField("_lbl") != b_d.getField("_lbl"),
+                    _jac(a_d, b_d),
+                ),
+            )
+            verified = v_cross.unionByName(v_db).distinct()
+        else:
+            pool = pool.select("id", "band", "bkey")
+            sh_map = src.select("id", "sh")
+            grouped = (
+                pool.join(sh_map, "id")
+                .groupBy("band", "bkey")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("id"), F.col("sh")))
+                    ).alias("ds")
+                )
+            )
+            csz = F.size("ds")
+            if candidate_scope == "star":
+                # docs[1] is the bucket min (id-sorted structs); edges
+                # (docs[1], docs[j]) for j in 2..c — same star contract.
+                ex = grouped.select(
+                    "ds", F.lit(1).alias("i"),
+                    F.explode(F.sequence(F.lit(2), csz)).alias("j"),
+                )
+            else:
+                ex = grouped.select(
+                    "ds", F.explode(F.sequence(F.lit(1), csz - 1)).alias("i")
+                ).select(
+                    "ds", "i",
+                    F.explode(F.sequence(F.col("i") + 1, F.size("ds"))).alias(
+                        "j"
+                    ),
+                )
+            a = F.element_at("ds", F.col("i"))
+            b = F.element_at("ds", F.col("j"))
+            verified = (
+                ex.select(
+                    a.getField("id").alias("id_a"),
+                    b.getField("id").alias("id_b"),
+                    _jac(a, b).alias("jaccard"),
+                )
+                .filter(F.col("jaccard") >= threshold)
+                .distinct()
+            )
     else:
         # Exact verification on candidates only: each pair re-joins the two
         # hash SETS and intersects them worker-side — no inverted index, no

@@ -1560,6 +1560,19 @@ def test_grouped_verify_matches_pairs(spark):
     b_p = res(dedup.minhash_lsh_pairs(df, verify="pairs", **bkw))
     b_g = res(dedup.minhash_lsh_pairs(df, verify="grouped", **bkw))
     assert b_p == b_g
+    # >2 distinct labels exercises grouped's within-db enumeration branch
+    # (the min-label block-split covers only cross pairs touching the min
+    # label; label2 x label3 pairs come from the nl>2-gated branch)
+    tkw3 = dict(
+        kw,
+        threshold=0.2,
+        bands=32,
+        collapse_exact=False,
+        bipartite=F.pmod(F.xxhash64("text"), F.lit(3)),
+    )
+    t_p = res(dedup.minhash_lsh_pairs(df, verify="pairs", **tkw3))
+    t_g = res(dedup.minhash_lsh_pairs(df, verify="grouped", **tkw3))
+    assert t_p == t_g and len(t_p) > 0
     # sig_source modes (the decontaminate_canonical_lsh passes)
     reps, members = dedup._exact_text_collapse(df, "text", "doc_id")
     sig = (
