@@ -851,9 +851,9 @@ def minhash_lsh_pairs(
             # da x db — every pair cross-label by construction, no guard.
             # Buckets with >2 distinct labels (impossible for the binary
             # train/eval split; possible for arbitrary label columns)
-            # additionally enumerate within ``db`` under the label guard —
-            # gated per row by ``nl`` so 2-label buckets emit NOTHING
-            # from that branch (explode of an empty array).
+            # additionally enumerate within their non-min-label members
+            # under the label guard, via a separate aggregation over just
+            # those buckets (see ``db2`` below).
             pool = (
                 pool.withColumn("_nl", F.size(F.collect_set("_lbl").over(wb)))
                 .withColumn("_lbl0", F.min("_lbl").over(wb))
@@ -879,7 +879,6 @@ def minhash_lsh_pairs(
                             F.struct(F.col("id"), F.col("_lbl"), F.col("sh")),
                         )
                     ).alias("db"),
-                    F.first("_nl").alias("nl"),
                 )
             )
 
@@ -904,14 +903,28 @@ def minhash_lsh_pairs(
             a_c = F.element_at("da", F.col("i"))
             b_c = F.element_at("db", F.col("j"))
             v_cross = _emit(exc, a_c, b_c, _jac(a_c, b_c))
-            exd = grouped.select(
+            # >2-label buckets RE-aggregate their own (tiny) subset rather
+            # than riding a second scan of ``grouped``: a union over one
+            # aggregation shares only up to the exchange (ReuseExchange),
+            # so the heavy final collect_list merge would run per branch —
+            # 2x the agg memory at the flood octaves — to serve a branch
+            # that is EMPTY whenever the label is binary (train/eval).
+            # banded/src are cached, so this branch's upstream re-scan is
+            # cheap, and its shuffle ships ~nothing for binary labels.
+            db2 = (
+                pool.filter(F.col("_nl") > 2)
+                .join(sh_map, "id")
+                .filter(F.col("_lbl") != F.col("_lbl0"))
+                .groupBy("band", "bkey")
+                .agg(
+                    F.collect_list(
+                        F.struct(F.col("id"), F.col("_lbl"), F.col("sh"))
+                    ).alias("db")
+                )
+            )
+            exd = db2.select(
                 "db",
-                F.explode(
-                    F.when(
-                        F.col("nl") > 2,
-                        F.sequence(F.lit(1), F.size("db") - 1),
-                    ).otherwise(F.array().cast("array<int>"))
-                ).alias("i"),
+                F.explode(F.sequence(F.lit(1), F.size("db") - 1)).alias("i"),
             ).select(
                 "db", "i",
                 F.explode(F.sequence(F.col("i") + 1, F.size("db"))).alias("j"),
