@@ -513,6 +513,9 @@ def decontaminate_canonical_lsh(
         sig_source=corpus_sig,
         bipartite_col="_lbl",
         verify=verify,
+        # hash_split labels are binary by construction -> grouped verify
+        # skips its within-rest-block branch at plan time
+        max_labels=2,
     )
     # Report aggregation at the REP level, then fan out: every raw eval
     # member inherits exactly its rep's matches (identical signatures ->

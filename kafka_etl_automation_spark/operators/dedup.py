@@ -490,6 +490,7 @@ def minhash_lsh_pairs(
     bipartite_col: str | None = None,
     members: DataFrame | None = None,
     verify: str | None = None,
+    max_labels: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH, verified with exact
     Jaccard over the 64-bit shingle-hash sets so the output has no false
@@ -562,6 +563,12 @@ def minhash_lsh_pairs(
         construction — pinned by
         tests/test_operators.py::test_grouped_verify_matches_pairs.
 
+    ``max_labels``: optional caller attestation that the bipartite label
+    column takes at most this many distinct values; with 2 (the
+    train/eval hash_split contracts) grouped verification skips its
+    within-rest-block enumeration branch at plan time. Only valid with a
+    bipartite label; never inferred from data.
+
     ``collapse_exact`` (default on — the deployable shape) runs the whole
     LSH pipeline on DISTINCT texts only and fans verified pairs back out
     to members (`_exact_text_collapse`): identical texts have identical
@@ -598,6 +605,18 @@ def minhash_lsh_pairs(
         verify = "pairs" if candidate_scope == "star" else "grouped"
     if verify not in ("pairs", "grouped"):
         raise ValueError(f"verify must be 'pairs' or 'grouped', got {verify!r}")
+    if max_labels is not None:
+        # Caller ATTESTATION that the bipartite label column takes at most
+        # this many distinct values (e.g. 2 for text.hash_split's binary
+        # train/eval). With <=2, grouped verification's within-rest-block
+        # enumeration branch is skipped at PLAN time — it can only emit
+        # for buckets holding >2 distinct labels, impossible under the
+        # attestation. Wrong attestation = silently dropped cross-label
+        # pairs among non-min labels, so this is opt-in, never inferred.
+        if bipartite is None and bipartite_col is None:
+            raise ValueError("max_labels is only meaningful with a bipartite label")
+        if max_labels < 2:
+            raise ValueError(f"max_labels must be >= 2, got {max_labels}")
     if candidate_scope == "star" and bipartite is not None:
         raise ValueError(
             "candidate_scope='star' and bipartite are mutually exclusive: "
@@ -849,11 +868,10 @@ def minhash_lsh_pairs(
             # ``da`` vs the rest ``db`` (collect_list skips the
             # when-nulls), so enumeration is the pure cross product
             # da x db — every pair cross-label by construction, no guard.
-            # Buckets with >2 distinct labels (impossible for the binary
-            # train/eval split; possible for arbitrary label columns)
-            # additionally enumerate within their non-min-label members
-            # under the label guard, via a separate aggregation over just
-            # those buckets (see ``db2`` below).
+            # Buckets with >2 distinct labels (impossible under a
+            # max_labels=2 attestation; possible for arbitrary label
+            # columns) additionally enumerate within the rest block under
+            # the label guard — see the max_labels branch below.
             pool = (
                 pool.withColumn("_nl", F.size(F.collect_set("_lbl").over(wb)))
                 .withColumn("_lbl0", F.min("_lbl").over(wb))
@@ -879,6 +897,7 @@ def minhash_lsh_pairs(
                             F.struct(F.col("id"), F.col("_lbl"), F.col("sh")),
                         )
                     ).alias("db"),
+                    F.first("_nl").alias("nl"),
                 )
             )
 
@@ -903,42 +922,47 @@ def minhash_lsh_pairs(
             a_c = F.element_at("da", F.col("i"))
             b_c = F.element_at("db", F.col("j"))
             v_cross = _emit(exc, a_c, b_c, _jac(a_c, b_c))
-            # >2-label buckets RE-aggregate their own (tiny) subset rather
-            # than riding a second scan of ``grouped``: a union over one
-            # aggregation shares only up to the exchange (ReuseExchange),
-            # so the heavy final collect_list merge would run per branch —
-            # 2x the agg memory at the flood octaves — to serve a branch
-            # that is EMPTY whenever the label is binary (train/eval).
-            # banded/src are cached, so this branch's upstream re-scan is
-            # cheap, and its shuffle ships ~nothing for binary labels.
-            db2 = (
-                pool.filter(F.col("_nl") > 2)
-                .join(sh_map, "id")
-                .filter(F.col("_lbl") != F.col("_lbl0"))
-                .groupBy("band", "bkey")
-                .agg(
-                    F.collect_list(
-                        F.struct(F.col("id"), F.col("_lbl"), F.col("sh"))
-                    ).alias("db")
+            if max_labels is not None and max_labels <= 2:
+                # Attested-binary label (the train/eval contracts): every
+                # cross-label pair touches the min label, so the cross
+                # product is COMPLETE and the within-rest branch never
+                # builds. (An earlier shape re-aggregated that branch's
+                # own subset instead — for binary labels its probe side is
+                # empty, but the join still exchanged the full signed
+                # frame: 78 -> 157s at the 300x octave. Plan-time skip is
+                # the only formulation that pays literally nothing.)
+                verified = v_cross.distinct()
+            else:
+                # Unattested labels: >2-label buckets enumerate within the
+                # rest block under the label guard, per-row gated by nl so
+                # 2-label buckets emit NOTHING (explode of an empty
+                # array). Rides the SAME aggregation — ReuseExchange
+                # shares the shuffle; the second final-agg scan is the
+                # price of not attesting.
+                exd = grouped.select(
+                    "db",
+                    F.explode(
+                        F.when(
+                            F.col("nl") > 2,
+                            F.sequence(F.lit(1), F.size("db") - 1),
+                        ).otherwise(F.array().cast("array<int>"))
+                    ).alias("i"),
+                ).select(
+                    "db", "i",
+                    F.explode(F.sequence(F.col("i") + 1, F.size("db"))).alias(
+                        "j"
+                    ),
                 )
-            )
-            exd = db2.select(
-                "db",
-                F.explode(F.sequence(F.lit(1), F.size("db") - 1)).alias("i"),
-            ).select(
-                "db", "i",
-                F.explode(F.sequence(F.col("i") + 1, F.size("db"))).alias("j"),
-            )
-            a_d = F.element_at("db", F.col("i"))
-            b_d = F.element_at("db", F.col("j"))
-            v_db = _emit(
-                exd, a_d, b_d,
-                F.when(
-                    a_d.getField("_lbl") != b_d.getField("_lbl"),
-                    _jac(a_d, b_d),
-                ),
-            )
-            verified = v_cross.unionByName(v_db).distinct()
+                a_d = F.element_at("db", F.col("i"))
+                b_d = F.element_at("db", F.col("j"))
+                v_db = _emit(
+                    exd, a_d, b_d,
+                    F.when(
+                        a_d.getField("_lbl") != b_d.getField("_lbl"),
+                        _jac(a_d, b_d),
+                    ),
+                )
+                verified = v_cross.unionByName(v_db).distinct()
         else:
             pool = pool.select("id", "band", "bkey")
             sh_map = src.select("id", "sh")

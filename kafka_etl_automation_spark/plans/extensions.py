@@ -1581,6 +1581,7 @@ def ext_decontamination_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_lsh_pairs(
         docs, n=3, num_hashes=64, bands=32, threshold=0.2,
         bipartite=text.hash_split("text", 90), content_keyed=True,
+        max_labels=2,  # hash_split is binary -> plan-time branch skip
     )
     return curation.cross_split_contamination(docs, pairs)
 

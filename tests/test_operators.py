@@ -1560,6 +1560,12 @@ def test_grouped_verify_matches_pairs(spark):
     b_p = res(dedup.minhash_lsh_pairs(df, verify="pairs", **bkw))
     b_g = res(dedup.minhash_lsh_pairs(df, verify="grouped", **bkw))
     assert b_p == b_g
+    # attested-binary label (hash_split): the plan-time branch skip must
+    # be value-identical to the unattested plan
+    b_a = res(dedup.minhash_lsh_pairs(df, verify="grouped", max_labels=2, **bkw))
+    assert b_p == b_a
+    with pytest.raises(ValueError, match="max_labels"):
+        dedup.minhash_lsh_pairs(df, verify="grouped", max_labels=2, **kw)
     # >2 distinct labels exercises grouped's within-db enumeration branch
     # (the min-label block-split covers only cross pairs touching the min
     # label; label2 x label3 pairs come from the nl>2-gated branch)
