@@ -23,11 +23,15 @@ Scale properties (the reason this is a single plan, not four jobs):
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafka_etl_automation_spark.operators import text
 from kafka_etl_automation_spark.operators.dedup import normalized_text
+
+_LOG = logging.getLogger(__name__)
 
 
 def score_and_filter(
@@ -405,9 +409,17 @@ def decontaminate_canonical_lsh(
     bands: int = 32,
     max_bucket: int = 1000,
     verify: str | None = None,
+    verify_contam: str | None = None,
 ) -> DataFrame:
     """The deployable decontaminate-against-deduped-corpus shape, with ONE
     shared signature build feeding both LSH passes (VERDICT r07 #2).
+
+    ``verify_contam`` overrides the verify mode for pass 2 (the bipartite
+    cross-split banding) only, leaving pass 1's keep-list on ``verify`` /
+    its contract-aware default — the per-pass A/B knob
+    (tools/r11_verify_ab.py) so e.g. the r10 per-band-recompute control
+    ("grouped_perband") can be measured against the r11 once-per-pair
+    "grouped" without also flipping the star pass off its own default.
 
     ``verify`` defaults to None = contract-aware per pass (the r10
     measured shape): pass 1's STAR keep-list verifies per-pair (its
@@ -512,7 +524,7 @@ def decontaminate_canonical_lsh(
         collapse_exact=False,
         sig_source=corpus_sig,
         bipartite_col="_lbl",
-        verify=verify,
+        verify=verify_contam if verify_contam is not None else verify,
         # hash_split labels are binary by construction -> grouped verify
         # skips its within-rest-block branch at plan time
         max_labels=2,
@@ -566,8 +578,27 @@ _CORPUS_CACHES: list = []
 _CORPUS_CACHE_CAP = 6
 
 
+def _spill_level(cached_mem_bytes: int, max_heap_bytes: int):
+    """Pick the storage level for the NEXT corpus-sized cache: once the
+    already-cached bytes crowd the unified storage pool (~30% of heap at
+    the default spark.memory.fraction), further corpus caches go straight
+    to DISK_ONLY instead of competing with 32 concurrent column builders
+    for storage memory (VERDICT r10 #5: at the 2700x octave the
+    corpus-signature cache build OOM'd a 32g local driver — local mode
+    concentrates every task's builder plus the whole storage pool in one
+    JVM; on a real cluster the same cache is partitioned across
+    executors, so this guard only ever bites in local mode or on a
+    genuinely undersized executor). Pure function for testability."""
+    from pyspark import StorageLevel
+
+    if cached_mem_bytes > 0.30 * max_heap_bytes:
+        return StorageLevel.DISK_ONLY
+    return StorageLevel.MEMORY_AND_DISK
+
+
 def _cache_persisted(frame: DataFrame, eager: bool = True) -> DataFrame:
-    """Persist ``frame`` (MEMORY_AND_DISK) into the bounded-FIFO corpus
+    """Persist ``frame`` (MEMORY_AND_DISK, or DISK_ONLY past the
+    _spill_level storage-pressure probe) into the bounded-FIFO corpus
     cache, evicting oldest-first BEFORE appending so the live set never
     exceeds _CORPUS_CACHE_CAP — evicting only once per call let the cache
     transiently hold cap+2 frames while a multi-append caller ran (ADVICE
@@ -580,7 +611,23 @@ def _cache_persisted(frame: DataFrame, eager: bool = True) -> DataFrame:
             _CORPUS_CACHES.pop(0).unpersist(False)
         except Exception:
             pass
-    out = frame.persist(StorageLevel.MEMORY_AND_DISK)
+    level = StorageLevel.MEMORY_AND_DISK
+    try:
+        sc = frame.sparkSession.sparkContext
+        cached = sum(i.memSize() for i in sc._jsc.sc().getRDDStorageInfo())
+        heap = int(sc._jvm.java.lang.Runtime.getRuntime().maxMemory())
+        level = _spill_level(cached, heap)
+        if level != StorageLevel.MEMORY_AND_DISK:
+            _LOG.warning(
+                "corpus cache: %.1f GiB already cached vs %.1f GiB heap — "
+                "persisting the next corpus frame DISK_ONLY to keep the "
+                "storage pool from evicting/OOMing mid-build",
+                cached / 2**30,
+                heap / 2**30,
+            )
+    except Exception:  # storage telemetry is best-effort, never fatal
+        pass
+    out = frame.persist(level)
     # Eager (default): corpus-sized cached frames land on join sides
     # downstream; a MATERIALIZED InMemoryRelation reports measured (not
     # Generate-collapsed) stats, so static broadcast decisions over it

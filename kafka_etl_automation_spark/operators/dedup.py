@@ -19,8 +19,12 @@ signatures are reproducible across runs/partitionings.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 
 def normalized_text(col: Column | str) -> Column:
@@ -542,26 +546,34 @@ def minhash_lsh_pairs(
         r=4 bands, so grouped re-intersects each star edge up to 16x:
         measured 16.5s vs 31.8s at 30x and 46.3s vs 112.7s at 300x on
         the keep-list pipeline.
-      - ``"grouped"`` (per-BUCKET grouped verification; the default for
-        the all-pairs and bipartite contracts): surviving bucket members
-        (bucket size in [2, max_bucket]) join their hash set ONCE PER
-        BUCKET MEMBERSHIP (<= bands copies per doc — LINEAR in corpus
-        size), aggregate to one row per bucket holding the bucket's c
-        sets, and pair enumeration happens POST-shuffle inside the bucket
-        row via two chained explode(sequence)+element_at generates (the
-        r09 zero-copy pattern: the docs array stays a codegen variable,
-        indexed not copied). A pair co-occurring in several buckets is
-        re-verified per bucket (exact Jaccard is deterministic, so the
-        final distinct() collapses them to the identical row); at the
-        thresholds where buckets FLOOD (families straddling t, r small —
-        the decontamination ceiling case) surviving pairs outnumber
-        memberships ~8x at 1.3e9 candidates x ~750B sets, so grouped's
-        linear shipping is the 100 TB shape exactly where pairs-mode
-        ENOSPCs, and co-occurrence there is ~1 band so the re-verify tax
-        is nil. Gate-SF A/B: minhash all-pairs 3.90->3.81s, canonical
-        decon 9.25->8.14s, rows identical. Value-identical to "pairs" by
-        construction — pinned by
+      - ``"grouped"`` (per-BUCKET grouped verification with ONCE-PER-PAIR
+        Jaccard — VERDICT r10 #1; the default for the all-pairs and
+        bipartite contracts): surviving bucket members (bucket size in
+        [2, max_bucket]) join their hash set ONCE PER BUCKET MEMBERSHIP
+        (<= bands copies per doc — LINEAR in corpus size), aggregate to
+        one row per bucket holding the bucket's c sets, then enumeration
+        and verification SPLIT: the bucket rows first emit NARROW
+        (id_a, id_b, location) candidates — ids and array indices only,
+        the sh arrays stay in the bucket row — a groupBy reduces each
+        pair to its MINIMUM co-occurring band (min over a
+        (band, bkey, i, j) struct), and a narrow join back to the bucket
+        rows on (band, bkey) — partition-aligned with the aggregation,
+        so only the pair side shuffles — runs exact Jaccard EXACTLY ONCE
+        per distinct pair via element_at on the min band's array. The
+        r10 shape re-intersected each pair once per co-occurring band
+        (tight families co-occur in most of 16 bands — the bulk of the
+        compute-super-linear 2700x wall); the min-band reduction trades
+        that for one narrow shuffle, linear in candidate emissions.
+        Value-identical to "pairs" by construction — pinned by
         tests/test_operators.py::test_grouped_verify_matches_pairs.
+      - ``"grouped_perband"`` (the r10 per-band-recompute shape, kept as
+        the A/B control): identical membership shipping and bucket-row
+        aggregation, but each bucket enumerates AND Jaccard-verifies its
+        own pairs inline, so a pair co-occurring in k bands is
+        re-intersected k times before the final distinct() collapses the
+        identical rows. Measured r10: gate-SF A/B minhash all-pairs
+        3.90->3.81s, canonical decon 9.25->8.14s vs pairs; 2700x decon
+        1447.7s on ~25 GB scratch where pairs ENOSPC'd ~1 TB.
 
     ``max_labels``: optional caller attestation that the bipartite label
     column takes at most this many distinct values; with 2 (the
@@ -603,8 +615,11 @@ def minhash_lsh_pairs(
         )
     if verify is None:
         verify = "pairs" if candidate_scope == "star" else "grouped"
-    if verify not in ("pairs", "grouped"):
-        raise ValueError(f"verify must be 'pairs' or 'grouped', got {verify!r}")
+    if verify not in ("pairs", "grouped", "grouped_perband"):
+        raise ValueError(
+            "verify must be 'pairs', 'grouped', or 'grouped_perband', "
+            f"got {verify!r}"
+        )
     if max_labels is not None:
         # Caller ATTESTATION that the bipartite label column takes at most
         # this many distinct values (e.g. 2 for text.hash_split's binary
@@ -745,9 +760,46 @@ def minhash_lsh_pairs(
     # cached projections on join sides; MATERIALIZED InMemoryRelations
     # report MEASURED sizes, so static broadcast decisions over them are
     # size-sound at every SF instead of riding a Generate-collapsed
-    # estimate (the r09 BroadcastOverGenerate class). One count
-    # materializes banded AND src (its parent cache) in a single job.
-    banded.count()
+    # estimate (the r09 BroadcastOverGenerate class). One job
+    # materializes banded AND src (its parent cache) — and since that job
+    # has to scan every banded row anyway, it doubles as the ALWAYS-ON
+    # cap audit (VERDICT r10 #3): a bucket-size aggregate over the fresh
+    # cache reports what the max_bucket cap will discard, so a production
+    # caller (stats=None — every boarded query and canonical pipeline)
+    # gets a WARN the moment the cap bites instead of silent recall loss.
+    # The partial (map-side) count keeps the extra shuffle at one narrow
+    # row per distinct surviving (band, bkey) per task — measured noise
+    # next to the window sizing exchange the pipeline pays regardless.
+    _cap_work = (
+        (F.col("count") - 1)
+        if candidate_scope == "star"
+        else F.col("count") * (F.col("count") - 1) / 2
+    )
+    _cap_kept = F.col("count") <= max_bucket
+    _cap = (
+        banded.groupBy("band", "bkey")
+        .count()
+        .agg(
+            F.sum(F.when(_cap_kept, _cap_work)).alias("w"),
+            F.max(F.when(_cap_kept, F.col("count"))).alias("m"),
+            F.sum((~_cap_kept).cast("long")).alias("db"),
+            F.sum(F.when(~_cap_kept, _cap_work)).alias("de"),
+        )
+        .collect()[0]
+    )
+    dropped_buckets = int(_cap["db"] or 0)
+    dropped_emissions = int(_cap["de"] or 0)
+    if dropped_buckets > 0:
+        _LOG.warning(
+            "minhash_lsh_pairs: max_bucket=%d dropped %d flooded bucket(s) "
+            "= %d candidate emissions before verification; measured output "
+            "cost at the 300x/900x octaves: 0%% / 0.5%% of merges (see "
+            "BENCH_SCALE.md cap-recall) — raise max_bucket or pre-collapse "
+            "boilerplate if this corpus needs those pairs",
+            max_bucket,
+            dropped_buckets,
+            dropped_emissions,
+        )
 
     # Skew guard: drop degenerate buckets (e.g. identical boilerplate
     # signatures) that would go quadratic; at 100 TB this is the
@@ -800,56 +852,58 @@ def minhash_lsh_pairs(
         banded_ok = banded_ok.select("id", "band", "bkey")
 
     if stats is not None:
-        # Probe-only instrumentation (tools/dedup_probe.py): attribute the
+        # Probe instrumentation (tools/dedup_probe.py): attribute the
         # candidate stage's cost. join_work = the exact number of candidate
         # emissions: sum C(bucket,2) for the all-pairs self-join, sum
-        # (bucket-1) for star's window-min edges. The max_bucket cap is
-        # NOT silent (VERDICT r09 #2): dropped_buckets / dropped_emissions
-        # report exactly what the cap discarded, from the PRE-filter
-        # bucket sizes in the same one aggregation.
-        work = (
-            (F.col("count") - 1)
-            if candidate_scope == "star"
-            else F.col("count") * (F.col("count") - 1) / 2
-        )
-        kept = F.col("count") <= max_bucket
-        bw = (
-            banded.groupBy("band", "bkey")
-            .count()
-            .agg(
-                F.sum(F.when(kept, work)).alias("w"),
-                F.max(F.when(kept, F.col("count"))).alias("m"),
-                F.sum((~kept).cast("long")).alias("db"),
-                F.sum(F.when(~kept, work)).alias("de"),
-            )
-            .collect()[0]
-        )
-        stats["bucket_join_work"] = int(bw["w"] or 0)
-        stats["max_bucket_size"] = int(bw["m"] or 0)
-        stats["dropped_buckets"] = int(bw["db"] or 0)
-        stats["dropped_emissions"] = int(bw["de"] or 0)
+        # (bucket-1) for star's window-min edges. The bucket-size numbers
+        # come from the always-on cap audit above (the same aggregate that
+        # materialized the caches — no extra job); only candidates_distinct
+        # costs a probe-only pass.
+        stats["bucket_join_work"] = int(_cap["w"] or 0)
+        stats["max_bucket_size"] = int(_cap["m"] or 0)
+        stats["dropped_buckets"] = dropped_buckets
+        stats["dropped_emissions"] = dropped_emissions
         stats["candidates_distinct"] = cand.count()
 
-    if verify == "grouped":
+    if verify in ("grouped", "grouped_perband"):
         # Per-BUCKET grouped verification (VERDICT r09 #1): ship each
         # bucket's c signature sets ONCE, not c² pair copies. Members of
         # buckets that can emit (2 <= bsz <= max_bucket) join their hash
         # set by id — <= bands copies per doc, linear in corpus size —
         # then ONE (band, bkey) aggregation materializes each bucket as a
         # single row of id-sorted (id[, _lbl], sh) structs. Pair
-        # enumeration + exact Jaccard run AFTER that shuffle, inside the
-        # bucket row: explode(sequence) + element_at keep the struct
-        # array a codegen variable (indexed, never copied — the r09
-        # shingle pattern), and only pairs >= threshold survive into the
-        # final narrow distinct. The label-free contracts sort structs by
-        # leading field = id, so i < j gives id_a < id_b exactly like the
-        # self-join's x.id < y.id; the cross-label contract block-splits
-        # each bucket by label instead (see below) and orders ids with
+        # enumeration runs AFTER that shuffle, inside the bucket row:
+        # explode(sequence) + element_at keep the struct array a codegen
+        # variable (indexed, never copied — the r09 shingle pattern).
+        # The label-free contracts sort structs by leading field = id, so
+        # i < j gives id_a < id_b exactly like the self-join's
+        # x.id < y.id; the cross-label contract block-splits each bucket
+        # by label instead (see below) and orders ids with
         # least/greatest.
-        def _jac(a, b):
-            sh_a, sh_b = a.getField("sh"), b.getField("sh")
+        #
+        # "grouped" (VERDICT r10 #1, once-per-pair): enumeration emits
+        # only NARROW (id_a, id_b, loc) rows — ids plus the bucket
+        # location (band, bkey) and array indices (i, j); the sh arrays
+        # never leave the bucket row. A groupBy(id_a, id_b) reduces each
+        # pair to its MINIMUM co-occurring band (struct min, band-first),
+        # and a join back to the bucket rows on (band, bkey) — the
+        # aggregation's own partitioning, so only the narrow pair side
+        # shuffles — runs the exact Jaccard EXACTLY ONCE per distinct
+        # pair. Tight dup families co-occur in most of the 16 bands, so
+        # this cuts up to a #co-bands-fold of intersect compute (the bulk
+        # of the r10 2700x super-linearity) for one narrow shuffle.
+        #
+        # "grouped_perband" (the r10 control): Jaccard runs inline per
+        # bucket, so a pair co-occurring in k bands is re-intersected k
+        # times before the final distinct() collapses the identical rows.
+        once = verify == "grouped"
+
+        def _jac_sh(sh_a, sh_b):
             n_inter = F.size(F.array_intersect(sh_a, sh_b))
             return n_inter / (F.size(sh_a) + F.size(sh_b) - n_inter)
+
+        def _jac(a, b):
+            return _jac_sh(a.getField("sh"), b.getField("sh"))
 
         pool = sized.filter(F.col("bsz") >= 2)
         if band_cols:
@@ -901,46 +955,43 @@ def minhash_lsh_pairs(
                 )
             )
 
-            def _emit(ex, a, b, jac):
+            def _ids(a, b):
                 # pairs-mode orders ids via x.id < y.id in the self-join;
                 # block membership doesn't follow id order, so order here
-                return ex.select(
+                return (
                     F.least(a.getField("id"), b.getField("id")).alias("id_a"),
                     F.greatest(a.getField("id"), b.getField("id")).alias(
                         "id_b"
                     ),
-                    jac.alias("jaccard"),
-                ).filter(F.col("jaccard") >= threshold)
+                )
 
+            # Attested-binary label (the train/eval contracts): every
+            # cross-label pair touches the min label, so the min x rest
+            # cross product is COMPLETE and the within-rest branch never
+            # builds. (An earlier shape re-aggregated that branch's own
+            # subset instead — for binary labels its probe side is empty,
+            # but the join still exchanged the full signed frame:
+            # 78 -> 157s at the 300x octave. Plan-time skip is the only
+            # formulation that pays literally nothing.) Unattested
+            # labels: >2-label buckets additionally enumerate within the
+            # rest block under the label guard, per-row gated by nl so
+            # 2-label buckets emit NOTHING (explode of an empty array).
+            # Rides the SAME aggregation — ReuseExchange shares the
+            # shuffle; the second final-agg scan is the price of not
+            # attesting.
+            binary = max_labels is not None and max_labels <= 2
             exc = grouped.select(
-                "da", "db",
+                "da", "db", "band", "bkey",
                 F.explode(F.sequence(F.lit(1), F.size("da"))).alias("i"),
             ).select(
-                "da", "db", "i",
+                "da", "db", "band", "bkey", "i",
                 F.explode(F.sequence(F.lit(1), F.size("db"))).alias("j"),
             )
             a_c = F.element_at("da", F.col("i"))
             b_c = F.element_at("db", F.col("j"))
-            v_cross = _emit(exc, a_c, b_c, _jac(a_c, b_c))
-            if max_labels is not None and max_labels <= 2:
-                # Attested-binary label (the train/eval contracts): every
-                # cross-label pair touches the min label, so the cross
-                # product is COMPLETE and the within-rest branch never
-                # builds. (An earlier shape re-aggregated that branch's
-                # own subset instead — for binary labels its probe side is
-                # empty, but the join still exchanged the full signed
-                # frame: 78 -> 157s at the 300x octave. Plan-time skip is
-                # the only formulation that pays literally nothing.)
-                verified = v_cross.distinct()
-            else:
-                # Unattested labels: >2-label buckets enumerate within the
-                # rest block under the label guard, per-row gated by nl so
-                # 2-label buckets emit NOTHING (explode of an empty
-                # array). Rides the SAME aggregation — ReuseExchange
-                # shares the shuffle; the second final-agg scan is the
-                # price of not attesting.
+            if not binary:
                 exd = grouped.select(
-                    "db",
+                    "db", "band", "bkey",
                     F.explode(
                         F.when(
                             F.col("nl") > 2,
@@ -948,21 +999,87 @@ def minhash_lsh_pairs(
                         ).otherwise(F.array().cast("array<int>"))
                     ).alias("i"),
                 ).select(
-                    "db", "i",
+                    "db", "band", "bkey", "i",
                     F.explode(F.sequence(F.col("i") + 1, F.size("db"))).alias(
                         "j"
                     ),
                 )
                 a_d = F.element_at("db", F.col("i"))
                 b_d = F.element_at("db", F.col("j"))
-                v_db = _emit(
-                    exd, a_d, b_d,
-                    F.when(
-                        a_d.getField("_lbl") != b_d.getField("_lbl"),
-                        _jac(a_d, b_d),
-                    ),
+            if once:
+                # Narrow candidates: the sh arrays stay in the bucket row.
+                # loc fields are band-first so min(loc) picks each pair's
+                # minimum co-occurring band; w disambiguates which block
+                # the indices address (0: i in da, j in db; 1: both in
+                # db) — within one band a pair occupies exactly one
+                # bucket and one branch, so loc is unique per band.
+                nc = exc.select(
+                    *_ids(a_c, b_c),
+                    F.struct(
+                        "band", F.lit(0).alias("w"), "bkey", "i", "j"
+                    ).alias("loc"),
                 )
-                verified = v_cross.unionByName(v_db).distinct()
+                if binary:
+                    narrow = nc
+                else:
+                    nd = exd.filter(
+                        a_d.getField("_lbl") != b_d.getField("_lbl")
+                    ).select(
+                        *_ids(a_d, b_d),
+                        F.struct(
+                            "band", F.lit(1).alias("w"), "bkey", "i", "j"
+                        ).alias("loc"),
+                    )
+                    narrow = nc.unionByName(nd)
+                best = (
+                    narrow.groupBy("id_a", "id_b")
+                    .agg(F.min("loc").alias("loc"))
+                    .select(
+                        "id_a",
+                        "id_b",
+                        F.col("loc.band").alias("band"),
+                        F.col("loc.w").alias("w"),
+                        F.col("loc.bkey").alias("bkey"),
+                        F.col("loc.i").alias("i"),
+                        F.col("loc.j").alias("j"),
+                    )
+                )
+                # (band, bkey) is the aggregation's own output
+                # partitioning — only the narrow pair side exchanges; the
+                # hint keeps the wide bucket rows as the streamed side.
+                joined = best.hint("shuffle_hash").join(
+                    grouped, ["band", "bkey"]
+                )
+                sh_b = F.element_at("db", F.col("j")).getField("sh")
+                if binary:
+                    sh_a = F.element_at("da", F.col("i")).getField("sh")
+                else:
+                    sh_a = F.when(
+                        F.col("w") == 0,
+                        F.element_at("da", F.col("i")).getField("sh"),
+                    ).otherwise(F.element_at("db", F.col("i")).getField("sh"))
+                verified = joined.select(
+                    "id_a", "id_b", _jac_sh(sh_a, sh_b).alias("jaccard")
+                ).filter(F.col("jaccard") >= threshold)
+            else:
+
+                def _emit(ex, a, b, jac):
+                    return ex.select(
+                        *_ids(a, b), jac.alias("jaccard")
+                    ).filter(F.col("jaccard") >= threshold)
+
+                v_cross = _emit(exc, a_c, b_c, _jac(a_c, b_c))
+                if binary:
+                    verified = v_cross.distinct()
+                else:
+                    v_db = _emit(
+                        exd, a_d, b_d,
+                        F.when(
+                            a_d.getField("_lbl") != b_d.getField("_lbl"),
+                            _jac(a_d, b_d),
+                        ),
+                    )
+                    verified = v_cross.unionByName(v_db).distinct()
         else:
             pool = pool.select("id", "band", "bkey")
             sh_map = src.select("id", "sh")
@@ -980,29 +1097,57 @@ def minhash_lsh_pairs(
                 # docs[1] is the bucket min (id-sorted structs); edges
                 # (docs[1], docs[j]) for j in 2..c — same star contract.
                 ex = grouped.select(
-                    "ds", F.lit(1).alias("i"),
+                    "ds", "band", "bkey", F.lit(1).alias("i"),
                     F.explode(F.sequence(F.lit(2), csz)).alias("j"),
                 )
             else:
                 ex = grouped.select(
-                    "ds", F.explode(F.sequence(F.lit(1), csz - 1)).alias("i")
+                    "ds", "band", "bkey",
+                    F.explode(F.sequence(F.lit(1), csz - 1)).alias("i"),
                 ).select(
-                    "ds", "i",
+                    "ds", "band", "bkey", "i",
                     F.explode(F.sequence(F.col("i") + 1, F.size("ds"))).alias(
                         "j"
                     ),
                 )
             a = F.element_at("ds", F.col("i"))
             b = F.element_at("ds", F.col("j"))
-            verified = (
-                ex.select(
+            if once:
+                # Narrow candidates (ids + location; ds stays put), min
+                # co-occurring band per pair, verify once in that bucket.
+                narrow = ex.select(
                     a.getField("id").alias("id_a"),
                     b.getField("id").alias("id_b"),
-                    _jac(a, b).alias("jaccard"),
+                    F.struct("band", "bkey", "i", "j").alias("loc"),
                 )
-                .filter(F.col("jaccard") >= threshold)
-                .distinct()
-            )
+                best = (
+                    narrow.groupBy("id_a", "id_b")
+                    .agg(F.min("loc").alias("loc"))
+                    .select(
+                        "id_a",
+                        "id_b",
+                        F.col("loc.band").alias("band"),
+                        F.col("loc.bkey").alias("bkey"),
+                        F.col("loc.i").alias("i"),
+                        F.col("loc.j").alias("j"),
+                    )
+                )
+                joined = best.hint("shuffle_hash").join(
+                    grouped, ["band", "bkey"]
+                )
+                verified = joined.select(
+                    "id_a", "id_b", _jac(a, b).alias("jaccard")
+                ).filter(F.col("jaccard") >= threshold)
+            else:
+                verified = (
+                    ex.select(
+                        a.getField("id").alias("id_a"),
+                        b.getField("id").alias("id_b"),
+                        _jac(a, b).alias("jaccard"),
+                    )
+                    .filter(F.col("jaccard") >= threshold)
+                    .distinct()
+                )
     else:
         # Exact verification on candidates only: each pair re-joins the two
         # hash SETS and intersects them worker-side — no inverted index, no

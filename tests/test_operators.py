@@ -1540,10 +1540,12 @@ def test_grouped_verify_matches_pairs(spark):
         return sorted((r.id_a, r.id_b, round(r.jaccard, 12)) for r in d.collect())
 
     kw = dict(n=3, num_hashes=64, bands=16, threshold=0.3)
-    # all-pairs, collapse on (ext_minhash_lsh contract)
+    # all-pairs, collapse on (ext_minhash_lsh contract); r11: "grouped" is
+    # the once-per-pair min-band shape, "grouped_perband" the r10 control
     a_p = res(dedup.minhash_lsh_pairs(df, verify="pairs", **kw))
     a_g = res(dedup.minhash_lsh_pairs(df, verify="grouped", **kw))
     assert a_p == a_g and len(a_p) > 10
+    assert a_p == res(dedup.minhash_lsh_pairs(df, verify="grouped_perband", **kw))
     # star, no collapse (keep-list contract)
     skw = dict(kw, collapse_exact=False, candidate_scope="star")
     assert res(dedup.minhash_lsh_pairs(df, verify="pairs", **skw)) == res(
@@ -1560,6 +1562,7 @@ def test_grouped_verify_matches_pairs(spark):
     b_p = res(dedup.minhash_lsh_pairs(df, verify="pairs", **bkw))
     b_g = res(dedup.minhash_lsh_pairs(df, verify="grouped", **bkw))
     assert b_p == b_g
+    assert b_p == res(dedup.minhash_lsh_pairs(df, verify="grouped_perband", **bkw))
     # attested-binary label (hash_split): the plan-time branch skip must
     # be value-identical to the unattested plan
     b_a = res(dedup.minhash_lsh_pairs(df, verify="grouped", max_labels=2, **bkw))
@@ -1579,6 +1582,7 @@ def test_grouped_verify_matches_pairs(spark):
     t_p = res(dedup.minhash_lsh_pairs(df, verify="pairs", **tkw3))
     t_g = res(dedup.minhash_lsh_pairs(df, verify="grouped", **tkw3))
     assert t_p == t_g and len(t_p) > 0
+    assert t_p == res(dedup.minhash_lsh_pairs(df, verify="grouped_perband", **tkw3))
     # sig_source modes (the decontaminate_canonical_lsh passes)
     reps, members = dedup._exact_text_collapse(df, "text", "doc_id")
     sig = (
@@ -1657,6 +1661,34 @@ def test_lsh_cap_stats_are_loud(spark):
     assert st_sim["dropped_buckets"] > 0 and st_sim["dropped_emissions"] > 0
 
 
+def test_lsh_cap_warns_in_shipping_path(spark, caplog):
+    """VERDICT r10 #3: the cap audit must be loud WITHOUT a stats probe —
+    the boarded queries and canonical pipelines run with stats=None, and a
+    production caller needs a signal the moment max_bucket discards
+    buckets. The WARN rides the eager cache-materialization job, so it
+    fires at operator-build time, and stays silent on uncapped corpora."""
+    import logging
+
+    from kafka_etl_automation_spark.operators import dedup
+
+    stem = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, f"{stem} tail{i % 2} x") for i in range(6)]
+    rows += [(10, "unrelated content one here"), (11, "unrelated content two here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(n=3, num_hashes=64, bands=16, threshold=0.2, collapse_exact=False)
+
+    logger = "kafka_etl_automation_spark.operators.dedup"
+    with caplog.at_level(logging.WARNING, logger=logger):
+        dedup.minhash_lsh_pairs(df, max_bucket=2, **kw)  # no action needed
+    hits = [r for r in caplog.records if "max_bucket=2 dropped" in r.getMessage()]
+    assert len(hits) == 1 and hits[0].levelno == logging.WARNING
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger=logger):
+        dedup.minhash_lsh_pairs(df, max_bucket=1000, **kw)
+    assert not [r for r in caplog.records if "dropped" in r.getMessage()]
+
+
 def test_ngram_overlap_bloom_generic_id_type(spark):
     """ADVICE r09: the bloom variant's pandas-UDF schemas derived their id
     field from a hardcoded long — a string doc_id failed at runtime with an
@@ -1682,3 +1714,26 @@ def test_ngram_overlap_bloom_generic_id_type(spark):
     }
     assert bloom == exact and len(exact) > 0
     assert all(isinstance(k[0], str) for k in bloom)
+
+
+def test_spill_level_probe(spark):
+    """VERDICT r10 #5: corpus caches switch to DISK_ONLY once cached bytes
+    crowd the storage pool (the 2700x corpus-signature cache OOM'd a 32g
+    local driver at MEMORY_AND_DISK). The threshold function is pure; the
+    integration path (getRDDStorageInfo + maxMemory) must also resolve on
+    a live session so the guard isn't silently dead."""
+    from pyspark import StorageLevel
+
+    from kafka_etl_automation_spark.operators import curation
+
+    gib = 2**30
+    assert curation._spill_level(0, 32 * gib) == StorageLevel.MEMORY_AND_DISK
+    assert curation._spill_level(9 * gib, 32 * gib) == StorageLevel.MEMORY_AND_DISK
+    assert curation._spill_level(11 * gib, 32 * gib) == StorageLevel.DISK_ONLY
+    # live telemetry path: a small frame stays MEMORY_AND_DISK and the
+    # JVM storage APIs the probe uses are reachable
+    sc = spark.sparkContext
+    assert int(sc._jvm.java.lang.Runtime.getRuntime().maxMemory()) > 0
+    df = curation._cache_persisted(spark.range(10).toDF("id"))
+    assert df.storageLevel == StorageLevel.MEMORY_AND_DISK
+    df.unpersist()
