@@ -935,20 +935,39 @@ def minhash_lsh_pairs(
             # _lbl rides src (sig_source mode) or joins on via lbl — in
             # both cases band_src carries it alongside sh
             sh_map = band_src.select("id", "_lbl", "sh")
+            # array_sort is LOAD-BEARING, not cosmetic: collect_list's
+            # element order over a shuffle is nondeterministic across
+            # (re-)executions, and the once-per-pair shape evaluates this
+            # aggregation TWICE — once for enumeration (which captures
+            # array indices) and once on the verify join's bucket side
+            # (which resolves them). Unsorted blocks let the two
+            # evaluations disagree under contended shuffle fetches, so
+            # element_at(da/db, i) dereferenced the WRONG doc's signature
+            # set (caught at the 2700x octave: 440,089 vs 431,985
+            # contaminated evals). Sorting by the unique leading id makes
+            # both evaluations bit-identical. The label-free branch below
+            # was always sorted (its star contract needs the min at
+            # ds[1]).
             grouped = (
                 pool.join(sh_map, "id")
                 .groupBy("band", "bkey")
                 .agg(
-                    F.collect_list(
-                        F.when(
-                            F.col("_lbl") == F.col("_lbl0"),
-                            F.struct(F.col("id"), F.col("sh")),
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_lbl") == F.col("_lbl0"),
+                                F.struct(F.col("id"), F.col("sh")),
+                            )
                         )
                     ).alias("da"),
-                    F.collect_list(
-                        F.when(
-                            F.col("_lbl") != F.col("_lbl0"),
-                            F.struct(F.col("id"), F.col("_lbl"), F.col("sh")),
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_lbl") != F.col("_lbl0"),
+                                F.struct(
+                                    F.col("id"), F.col("_lbl"), F.col("sh")
+                                ),
+                            )
                         )
                     ).alias("db"),
                     F.first("_nl").alias("nl"),

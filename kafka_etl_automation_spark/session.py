@@ -27,7 +27,14 @@ def get_spark(
     AQE coalesce, which is exactly what these settings do at any scale.
     """
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    shuffle_partitions = shuffle_partitions or max(cpus, 32)
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS: octave-ladder override — at the top
+    # octaves a 32-partition sort-heavy shuffle spills GBs per task; more
+    # (smaller) partitions keep each task's sort in memory and AQE
+    # coalesces the small ones right back, so the gate/bench plans are
+    # unchanged at the default.
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0")
+    ) or max(cpus, 32)
 
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -57,6 +64,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # Shuffle/spill codec: lz4 (Spark's default) for the CPU-bound
+        # gate/bench workloads; the octave ladders set
+        # SPARK_GRAFT_IO_CODEC=zstd — the r11 once-per-pair LSH verify
+        # shuffles ~1.3e9 narrow candidate rows at 2700x, and on a
+        # single-disk local box the ~2x better ratio is the difference
+        # between completing and ENOSPC (on a cluster the same knob
+        # trades a little CPU for half the network bytes).
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # testdata's events.ts is parquet TIMESTAMP(NANOS), which Spark's

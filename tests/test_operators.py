@@ -1737,3 +1737,40 @@ def test_spill_level_probe(spark):
     df = curation._cache_persisted(spark.range(10).toDF("id"))
     assert df.storageLevel == StorageLevel.MEMORY_AND_DISK
     df.unpersist()
+
+
+def test_grouped_bucket_blocks_are_sorted(spark):
+    """Regression pin for the 2700x order-divergence bug: collect_list's
+    element order over a shuffle is nondeterministic across
+    (re-)executions, and once-per-pair grouped verification evaluates the
+    bucket aggregation twice (index capture at enumeration, index
+    resolution on the verify join's bucket side) — every bucket block
+    array MUST therefore be array_sort'ed (unique leading id => both
+    evaluations bit-identical). Caught live at the 2700x octave: unsorted
+    da/db let element_at dereference the wrong doc's signature set
+    (440,089 vs 431,985 contaminated evals)."""
+    from kafka_etl_automation_spark.operators import dedup, text
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g"), (3, "a b c d e h")],
+        "doc_id long, text string",
+    )
+    kw = dict(n=3, num_hashes=64, bands=16, threshold=0.2)
+
+    def agg_plan(d):
+        return d._jdf.queryExecution().analyzed().toString()
+
+    # label-free contract: the single ds block
+    p = agg_plan(dedup.minhash_lsh_pairs(df, verify="grouped", **kw))
+    assert p.count("array_sort(collect_list") >= 1
+    # cross-label contract: BOTH blocks (da and db) sorted
+    bp = agg_plan(
+        dedup.minhash_lsh_pairs(
+            df,
+            verify="grouped",
+            bipartite=text.hash_split("text", 50),
+            content_keyed=True,
+            **kw,
+        )
+    )
+    assert bp.count("array_sort(collect_list") >= 2
