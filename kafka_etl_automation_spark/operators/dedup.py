@@ -581,6 +581,17 @@ def minhash_lsh_pairs(
     within-rest-block enumeration branch at plan time. Only valid with a
     bipartite label; never inferred from data.
 
+    ``max_bucket`` is a SKEW GUARD, not a free parameter: size it ABOVE
+    the expected duplicate family size, because a bucket is dropped
+    wholesale when it overflows and at duplicate-heavy corpora the
+    overflowing buckets ARE the duplicate families. Measured
+    (BENCH_SCALE.md r11 cap-recall): max_bucket=1000 costs 0% of true
+    merges at 300x and 0.5% at 900x (family size < cap), but 50% of
+    merges / 59% of truly contaminated evals at 2700x (family size
+    ~2700 > cap). The cap audit below is always-on and WARNs with the
+    dropped bucket/emission counts whenever it bites; uncapped runs
+    stay executable at flood octaves under grouped verification.
+
     ``collapse_exact`` (default on — the deployable shape) runs the whole
     LSH pipeline on DISTINCT texts only and fans verified pairs back out
     to members (`_exact_text_collapse`): identical texts have identical
@@ -792,10 +803,14 @@ def minhash_lsh_pairs(
     if dropped_buckets > 0:
         _LOG.warning(
             "minhash_lsh_pairs: max_bucket=%d dropped %d flooded bucket(s) "
-            "= %d candidate emissions before verification; measured output "
-            "cost at the 300x/900x octaves: 0%% / 0.5%% of merges (see "
-            "BENCH_SCALE.md cap-recall) — raise max_bucket or pre-collapse "
-            "boilerplate if this corpus needs those pairs",
+            "= %d candidate emissions before verification. The output cost "
+            "grows with duplicate multiplicity: measured 0%% of merges at "
+            "300x, 0.5%% at 900x, but 50%% at 2700x — where true dup "
+            "families outgrew the cap and the dropped buckets WERE the dup "
+            "families (BENCH_SCALE.md cap-recall). Size max_bucket above "
+            "the expected duplicate family size, or run uncapped (grouped "
+            "verification keeps the flood executable) if this corpus needs "
+            "those pairs",
             max_bucket,
             dropped_buckets,
             dropped_emissions,
@@ -1064,11 +1079,16 @@ def minhash_lsh_pairs(
                     )
                 )
                 # (band, bkey) is the aggregation's own output
-                # partitioning — only the narrow pair side exchanges; the
-                # hint keeps the wide bucket rows as the streamed side.
-                joined = best.hint("shuffle_hash").join(
-                    grouped, ["band", "bkey"]
-                )
+                # partitioning — only the narrow pair side exchanges. NO
+                # static join hint: a forced shuffle_hash build of the
+                # narrow pair side OOM'd a 32g heap at the 2700x octave
+                # (~560 MB of hash map per task x 32 concurrent tasks —
+                # SHJ builds cannot spill). Unhinted, the planner's
+                # sort-merge is spillable at any scale, and AQE's
+                # maxShuffledHashJoinLocalMapThreshold (set in
+                # session.get_spark) converts back to the fast hash join
+                # exactly when the MEASURED per-partition build fits.
+                joined = best.join(grouped, ["band", "bkey"])
                 sh_b = F.element_at("db", F.col("j")).getField("sh")
                 if binary:
                     sh_a = F.element_at("da", F.col("i")).getField("sh")
@@ -1151,9 +1171,9 @@ def minhash_lsh_pairs(
                         F.col("loc.j").alias("j"),
                     )
                 )
-                joined = best.hint("shuffle_hash").join(
-                    grouped, ["band", "bkey"]
-                )
+                # unhinted for the same 32g-OOM reason as the
+                # cross-label branch above (AQE re-converts when safe)
+                joined = best.join(grouped, ["band", "bkey"])
                 verified = joined.select(
                     "id_a", "id_b", _jac(a, b).alias("jaccard")
                 ).filter(F.col("jaccard") >= threshold)

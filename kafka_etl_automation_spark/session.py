@@ -60,6 +60,24 @@ def get_spark(
             "spark.sql.adaptive.autoBroadcastJoinThreshold",
             str(64 * 1024 * 1024),
         )
+        # Let AQE demote sort-merge to shuffled-hash when the MEASURED
+        # per-partition build side fits comfortably in task memory
+        # (default 0 = never). This replaces static shuffle_hash hints on
+        # scale-variant joins (the r11 once-per-pair LSH verify join):
+        # a forced SHJ build OOMs when the build side outgrows the heap
+        # (SHJ builds cannot spill — seen at 2700x/32g), while unhinted
+        # sort-merge stays spillable and AQE restores the fast hash join
+        # whenever the runtime stats say it is safe. The threshold
+        # compares COMPRESSED map-output bytes, which understate the
+        # UnsafeHashedRelation's in-memory size ~10x (zstd + hash-map
+        # overhead) — 16m compressed => ~160 MB of build per task, ~5 GB
+        # across 32 concurrent tasks, safe inside even a 32g heap's
+        # execution pool (a 128m setting OOM'd exactly that way at
+        # 2700x/512 partitions).
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(16 * 1024 * 1024),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
