@@ -407,7 +407,7 @@ def decontaminate_canonical_lsh(
     train_pct: int = 90,
     num_hashes: int = 64,
     bands: int = 32,
-    max_bucket: int = 1000,
+    max_bucket: int | str | None = "auto",
     verify: str | None = None,
     verify_contam: str | None = None,
 ) -> DataFrame:
@@ -614,7 +614,15 @@ def _cache_persisted(frame: DataFrame, eager: bool = True) -> DataFrame:
     level = StorageLevel.MEMORY_AND_DISK
     try:
         sc = frame.sparkSession.sparkContext
-        cached = sum(i.memSize() for i in sc._jsc.sc().getRDDStorageInfo())
+        # memSize + diskSize (ADVICE r11): memSize alone counts only blocks
+        # currently RESIDENT in memory, so once earlier caches spill the
+        # probe re-armed MEMORY_AND_DISK in exactly the saturated regime it
+        # targets. Disk-resident bytes overcount storage-POOL pressure, but
+        # the guard is local-mode-only and the conservative direction
+        # (going DISK_ONLY a frame early) costs a re-read, not an OOM.
+        cached = sum(
+            i.memSize() + i.diskSize() for i in sc._jsc.sc().getRDDStorageInfo()
+        )
         heap = int(sc._jvm.java.lang.Runtime.getRuntime().maxMemory())
         level = _spill_level(cached, heap)
         if level != StorageLevel.MEMORY_AND_DISK:
@@ -638,6 +646,21 @@ def _cache_persisted(frame: DataFrame, eager: bool = True) -> DataFrame:
         out.count()
     _CORPUS_CACHES.append(out)
     return out
+
+
+def _cache_release(frame: DataFrame) -> bool:
+    """Unpersist ``frame`` AND remove it from the bounded-FIFO corpus cache
+    (ADVICE r11: unpersisting a cached frame out-of-band left the dead
+    entry in _CORPUS_CACHES, shrinking the effective cap for the rest of
+    the session and double-unpersisting on eviction). Returns whether the
+    frame was tracked."""
+    tracked = any(c is frame for c in _CORPUS_CACHES)
+    _CORPUS_CACHES[:] = [c for c in _CORPUS_CACHES if c is not frame]
+    try:
+        frame.unpersist(False)
+    except Exception:
+        pass
+    return tracked
 
 
 def ngram_overlap_decontamination(

@@ -402,6 +402,58 @@ def _exact_text_collapse(
 _COLLAPSE_CACHES: list = []
 _COLLAPSE_CACHE_CAP = 4
 
+# max_bucket="auto" budget: allowed candidate emissions per banded row
+# before the skew guard engages (see minhash_lsh_pairs docstring). 64 is
+# ~6x the measured worst real corpus (2700x adversarial dup-dense: 11.4
+# emissions/row uncapped) while a single boilerplate bucket of 100k
+# mutually-dissimilar docs (5e9 emissions against a small corpus's ~1e6
+# banded rows) exceeds it by orders of magnitude.
+_AUTO_WORK_PER_ROW = 64
+
+# Flood fail-fast (VERDICT r11 #5): estimated narrow candidate rows in the
+# grouped-once verify shuffle above which a single-disk local run under the
+# default lz4 codec risks ENOSPC (measured r11: ~1.3e9 narrow rows at 2700x
+# needed zstd to complete on one disk; 900x's ~4e8 did not). Only enforced
+# for local[...] masters — a multi-disk cluster shrugs at these bytes.
+_FLOOD_NARROW_ROWS = 800_000_000
+# partition escalation target: ~12.5M narrow rows (~500 MB raw) per
+# reduction task keeps each hash table / spill run comfortably in memory
+_FLOOD_ROWS_PER_PARTITION = 12_500_000
+
+
+def _flood_escalation(
+    kept_work: int, master: str, codec: str, cur_partitions: int
+) -> tuple[str, object] | None:
+    """Plan-time flood policy for the grouped verify shuffle (VERDICT r11
+    #5) — pure for testability. The cap audit's kept emission count is
+    known BEFORE enumeration, so a run that would ENOSPC a single-disk
+    local box 10 minutes in can abort NOW naming the exact knobs
+    (spark.io.compression.codec is immutable after session start), and a
+    run that merely needs more reduction tasks gets them automatically
+    (shuffle partitions ARE runtime-settable; AQE coalesces small
+    partitions back, so sub-flood plans are untouched).
+
+    Returns ``("abort", message)``, ``("raise_partitions", n)``, or None.
+    """
+    if kept_work <= _FLOOD_NARROW_ROWS:
+        return None
+    if master.startswith("local") and codec == "lz4":
+        return (
+            "abort",
+            f"minhash_lsh_pairs: ~{kept_work:,} narrow candidate rows will "
+            "ride the grouped verify shuffle — past the single-disk lz4 "
+            f"ENOSPC ceiling (~{_FLOOD_NARROW_ROWS:,}, measured "
+            "BENCH_SCALE.md r11). Restart the session with "
+            "SPARK_GRAFT_IO_CODEC=zstd (halves shuffle bytes; "
+            "SPARK_GRAFT_SHUFFLE_PARTITIONS is then raised automatically), "
+            "or cap the flood (max_bucket=<int>) if these buckets are "
+            "boilerplate",
+        )
+    want = min(2048, max(cur_partitions, kept_work // _FLOOD_ROWS_PER_PARTITION))
+    if want > cur_partitions:
+        return ("raise_partitions", want)
+    return None
+
 
 def release_collapse_caches() -> int:
     """Unpersist every member map cached by `_exact_text_collapse`.
@@ -484,7 +536,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
-    max_bucket: int = 1000,
+    max_bucket: int | str | None = "auto",
     collapse_exact: bool = True,
     stats: dict | None = None,
     candidate_scope: str = "all",
@@ -495,6 +547,8 @@ def minhash_lsh_pairs(
     members: DataFrame | None = None,
     verify: str | None = None,
     max_labels: int | None = None,
+    auto_work_per_row: float | None = None,
+    once_reduction: str = "packed",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH, verified with exact
     Jaccard over the 64-bit shingle-hash sets so the output has no false
@@ -575,22 +629,58 @@ def minhash_lsh_pairs(
         3.90->3.81s, canonical decon 9.25->8.14s vs pairs; 2700x decon
         1447.7s on ~25 GB scratch where pairs ENOSPC'd ~1 TB.
 
+    ``once_reduction`` (``"packed"`` default / ``"struct"``): how the
+    once-per-pair shape reduces each pair to its minimum co-occurring
+    band. ``"packed"`` bit-packs (band, w, i, j) into one long and pairs
+    ``min(packed)`` with ``min_by(bkey, packed)`` — both buffers
+    primitive, so the reduction compiles to HashAggregate with map-side
+    partial combine instead of the struct-min's SortAggregate over the
+    full narrow candidate stream (VERDICT r11 #2; the sort was the
+    dominant remaining flood-octave cost). ``"struct"`` is the r11 A/B
+    control; both are value-identical (same row selected — see the
+    in-line proof) and pinned equal by test_grouped_verify_matches_pairs.
+    Packed requires bands <= 256 and max kept bucket < 2^27 (checked
+    against the audit histogram at plan time; falls back to struct).
+
+    ``auto_work_per_row``: override the ``max_bucket="auto"`` budget
+    (default ``_AUTO_WORK_PER_ROW`` = 64 emissions per banded row).
+
     ``max_labels``: optional caller attestation that the bipartite label
     column takes at most this many distinct values; with 2 (the
     train/eval hash_split contracts) grouped verification skips its
     within-rest-block enumeration branch at plan time. Only valid with a
     bipartite label; never inferred from data.
 
-    ``max_bucket`` is a SKEW GUARD, not a free parameter: size it ABOVE
-    the expected duplicate family size, because a bucket is dropped
-    wholesale when it overflows and at duplicate-heavy corpora the
-    overflowing buckets ARE the duplicate families. Measured
-    (BENCH_SCALE.md r11 cap-recall): max_bucket=1000 costs 0% of true
-    merges at 300x and 0.5% at 900x (family size < cap), but 50% of
+    ``max_bucket`` is a SKEW GUARD, not a free parameter — a bucket is
+    dropped wholesale when it overflows, and at duplicate-heavy corpora
+    the overflowing buckets ARE the duplicate families. Measured
+    (BENCH_SCALE.md r11 cap-recall): a fixed max_bucket=1000 cost 0% of
+    true merges at 300x and 0.5% at 900x (family size < cap), but 50% of
     merges / 59% of truly contaminated evals at 2700x (family size
-    ~2700 > cap). The cap audit below is always-on and WARNs with the
-    dropped bucket/emission counts whenever it bites; uncapped runs
-    stay executable at flood octaves under grouped verification.
+    ~2700 > cap). A fixed cap is therefore a wrong-output default on
+    realistic corpora (VERDICT r11 #1), so the default is:
+
+      - ``"auto"`` (default): the always-on bucket-size audit measures
+        the uncapped candidate-emission volume BEFORE enumeration; if it
+        is at most ``auto_work_per_row`` (default 64) emissions per
+        banded row — i.e. the work is corpus-LINEAR up to a constant —
+        the run is uncapped and no family is ever dropped. Only when
+        in-bucket quadratic growth pushes past that scale-free budget
+        (boilerplate floods: huge buckets of DISSIMILAR docs) does the
+        guard engage, choosing the LARGEST cap whose kept emission
+        volume fits the budget and WARNing with the dropped counts.
+        Duplicate families grow the budget's denominator too (their
+        members are banded rows), so family-heavy corpora stay uncapped
+        — measured at 2700x: 4.9e9 uncapped emissions ≈ 11 rows/banded
+        row, well under the default budget, and the uncapped run
+        completes under grouped verification.
+      - ``None``: explicitly uncapped — no size filter, audit is
+        informational only. (Before r12 ``None`` silently emitted ZERO
+        pairs — the bsz <= NULL comparison filtered every bucket row —
+        ADVICE r11 medium; now it is the documented uncapped spelling.)
+      - an ``int``: a hard cap, for cross-round determinism pins and
+        corpora whose flood shape is known. Size it ABOVE the expected
+        duplicate family size; the audit WARNs whenever it bites.
 
     ``collapse_exact`` (default on — the deployable shape) runs the whole
     LSH pipeline on DISTINCT texts only and fans verified pairs back out
@@ -631,6 +721,18 @@ def minhash_lsh_pairs(
             "verify must be 'pairs', 'grouped', or 'grouped_perband', "
             f"got {verify!r}"
         )
+    if once_reduction not in ("packed", "struct"):
+        raise ValueError(
+            f"once_reduction must be 'packed' or 'struct', got {once_reduction!r}"
+        )
+    if isinstance(max_bucket, str):
+        if max_bucket != "auto":
+            raise ValueError(
+                f"max_bucket must be 'auto', None (uncapped), or an int >= 2; "
+                f"got {max_bucket!r}"
+            )
+    elif max_bucket is not None and max_bucket < 2:
+        raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
     if max_labels is not None:
         # Caller ATTESTATION that the bipartite label column takes at most
         # this many distinct values (e.g. 2 for text.hash_split's binary
@@ -774,33 +876,99 @@ def minhash_lsh_pairs(
     # estimate (the r09 BroadcastOverGenerate class). One job
     # materializes banded AND src (its parent cache) — and since that job
     # has to scan every banded row anyway, it doubles as the ALWAYS-ON
-    # cap audit (VERDICT r10 #3): a bucket-size aggregate over the fresh
-    # cache reports what the max_bucket cap will discard, so a production
-    # caller (stats=None — every boarded query and canonical pipeline)
-    # gets a WARN the moment the cap bites instead of silent recall loss.
-    # The partial (map-side) count keeps the extra shuffle at one narrow
-    # row per distinct surviving (band, bkey) per task — measured noise
-    # next to the window sizing exchange the pipeline pays regardless.
-    _cap_work = (
-        (F.col("count") - 1)
-        if candidate_scope == "star"
-        else F.col("count") * (F.col("count") - 1) / 2
-    )
-    _cap_kept = F.col("count") <= max_bucket
-    _cap = (
-        banded.groupBy("band", "bkey")
-        .count()
-        .agg(
-            F.sum(F.when(_cap_kept, _cap_work)).alias("w"),
-            F.max(F.when(_cap_kept, F.col("count"))).alias("m"),
-            F.sum((~_cap_kept).cast("long")).alias("db"),
-            F.sum(F.when(~_cap_kept, _cap_work)).alias("de"),
+    # cap audit (VERDICT r10 #3), now a bucket-size HISTOGRAM (r12): one
+    # row per DISTINCT bucket size reaches the driver (bounded — a corpus
+    # has far fewer distinct bucket sizes than buckets), which is enough
+    # to (a) resolve max_bucket="auto" BEFORE enumeration, (b) compute
+    # exactly what any cap discards, so a production caller (stats=None —
+    # every boarded query and canonical pipeline) gets a WARN the moment
+    # a cap bites instead of silent recall loss, and (c) bound the array
+    # indices for the packed once-per-pair reduction below.
+    # Per-bucket emission work, CONTRACT-exact (r12): star emits c-1 edges,
+    # all-pairs C(c,2), and the bipartite block-split only CROSS-label
+    # pairs — C(c,2) minus the per-label within sums. Counting same-label
+    # pairs that never leave the candidate join would both mis-budget
+    # "auto" and overfire the flood guard (r11 ran the 900x bipartite
+    # decon fine under the default env; its C(c,2) overcount would not
+    # have). Work is carried DOUBLED (c*(c-1) is always even) so the
+    # histogram stays integer; halved driver-side.
+    if candidate_scope == "star":
+        _per_bucket = banded.groupBy("band", "bkey").agg(
+            F.count(F.lit(1)).alias("count"),
+            (2 * (F.count(F.lit(1)) - 1)).alias("w2"),
         )
-        .collect()[0]
+    elif band_cols:
+        _c = F.sum("lc")
+        _per_bucket = (
+            banded.groupBy("band", "bkey", "_lbl")
+            .agg(F.count(F.lit(1)).alias("lc"))
+            .groupBy("band", "bkey")
+            .agg(
+                _c.alias("count"),
+                (_c * (_c - 1) - F.sum(F.col("lc") * (F.col("lc") - 1))).alias(
+                    "w2"
+                ),
+            )
+        )
+    else:
+        _c = F.count(F.lit(1))
+        _per_bucket = banded.groupBy("band", "bkey").agg(
+            _c.alias("count"), (_c * (_c - 1)).alias("w2")
+        )
+    _hist = (
+        _per_bucket.groupBy("count")
+        .agg(F.count(F.lit(1)).alias("nb"), F.sum("w2").alias("w2"))
+        .collect()
     )
-    dropped_buckets = int(_cap["db"] or 0)
-    dropped_emissions = int(_cap["de"] or 0)
-    if dropped_buckets > 0:
+    _sizes = sorted((int(r["count"]), int(r["nb"]), int(r["w2"])) for r in _hist)
+    banded_rows = sum(c * nb for c, nb, _ in _sizes)
+    total_work = sum(w2 for _, _, w2 in _sizes) // 2
+    if max_bucket == "auto":
+        # Scale-free budget: allow up to auto_work_per_row candidate
+        # emissions per banded row. Linear-in-corpus work (duplicate
+        # families included — their members grow the denominator) stays
+        # UNCAPPED, so the r11 2700x failure mode (fixed cap < family
+        # size discards half the true merges) cannot happen under
+        # defaults; only in-bucket quadratic growth past the budget —
+        # boilerplate floods of mutually-DISSIMILAR docs — engages the
+        # guard, at the largest cap whose kept volume fits the budget.
+        _budget = (auto_work_per_row or _AUTO_WORK_PER_ROW) * banded_rows
+        if total_work <= _budget:
+            eff_cap = None
+        else:
+            acc, eff_cap = 0, _sizes[0][0] if _sizes else 2
+            for c, _nb, w2 in _sizes:
+                acc += w2 // 2
+                if acc > _budget:
+                    break
+                eff_cap = c
+            _LOG.warning(
+                "minhash_lsh_pairs: max_bucket='auto' engaged the skew "
+                "guard at cap=%d — uncapped candidate volume %d emissions "
+                "(%.1f per banded row) exceeds the budget of %.0f per "
+                "banded row x %d rows. If this corpus's large buckets are "
+                "TRUE duplicate families (not boilerplate collisions), "
+                "pass max_bucket=None to keep them — grouped verification "
+                "keeps uncapped floods executable (BENCH_SCALE.md r11)",
+                eff_cap,
+                total_work,
+                total_work / max(banded_rows, 1),
+                auto_work_per_row or _AUTO_WORK_PER_ROW,
+                banded_rows,
+            )
+    else:
+        eff_cap = max_bucket  # int (hard cap) or None (uncapped)
+    kept_work = (
+        sum(w2 for c, _, w2 in _sizes if eff_cap is None or c <= eff_cap) // 2
+    )
+    max_kept = max(
+        (c for c, _, _ in _sizes if eff_cap is None or c <= eff_cap), default=0
+    )
+    dropped_buckets = (
+        0 if eff_cap is None else sum(nb for c, nb, _ in _sizes if c > eff_cap)
+    )
+    dropped_emissions = total_work - kept_work
+    if dropped_buckets > 0 and not isinstance(max_bucket, str):
         _LOG.warning(
             "minhash_lsh_pairs: max_bucket=%d dropped %d flooded bucket(s) "
             "= %d candidate emissions before verification. The output cost "
@@ -808,10 +976,10 @@ def minhash_lsh_pairs(
             "300x, 0.5%% at 900x, but 50%% at 2700x — where true dup "
             "families outgrew the cap and the dropped buckets WERE the dup "
             "families (BENCH_SCALE.md cap-recall). Size max_bucket above "
-            "the expected duplicate family size, or run uncapped (grouped "
-            "verification keeps the flood executable) if this corpus needs "
-            "those pairs",
-            max_bucket,
+            "the expected duplicate family size, or pass max_bucket=None / "
+            "'auto' (grouped verification keeps the flood executable) if "
+            "this corpus needs those pairs",
+            eff_cap,
             dropped_buckets,
             dropped_emissions,
         )
@@ -832,11 +1000,11 @@ def minhash_lsh_pairs(
         # volume LINEAR in banded rows. The min rides the SAME window
         # exchange the size filter already pays — no self-join stage at
         # all. bmin < id always holds, so (id_a, id_b) ordering is free.
-        sized = (
-            banded.withColumn("bsz", F.count(F.lit(1)).over(wb))
-            .withColumn("bmin", F.min("id").over(wb))
-            .filter(F.col("bsz") <= max_bucket)
+        sized = banded.withColumn("bsz", F.count(F.lit(1)).over(wb)).withColumn(
+            "bmin", F.min("id").over(wb)
         )
+        if eff_cap is not None:
+            sized = sized.filter(F.col("bsz") <= eff_cap)
         banded_ok = sized.select("id", "band", "bkey")
         cand = (
             sized.filter(F.col("id") != F.col("bmin"))
@@ -844,9 +1012,9 @@ def minhash_lsh_pairs(
             .distinct()
         )
     else:
-        sized = banded.withColumn("bsz", F.count(F.lit(1)).over(wb)).filter(
-            F.col("bsz") <= max_bucket
-        )
+        sized = banded.withColumn("bsz", F.count(F.lit(1)).over(wb))
+        if eff_cap is not None:
+            sized = sized.filter(F.col("bsz") <= eff_cap)
         banded_ok = sized.select("id", *band_cols, "band", "bkey")
         x, y = banded_ok.alias("x"), banded_ok.alias("y")
         join_cond = (
@@ -870,14 +1038,19 @@ def minhash_lsh_pairs(
         # Probe instrumentation (tools/dedup_probe.py): attribute the
         # candidate stage's cost. join_work = the exact number of candidate
         # emissions: sum C(bucket,2) for the all-pairs self-join, sum
-        # (bucket-1) for star's window-min edges. The bucket-size numbers
-        # come from the always-on cap audit above (the same aggregate that
-        # materialized the caches — no extra job); only candidates_distinct
-        # costs a probe-only pass.
-        stats["bucket_join_work"] = int(_cap["w"] or 0)
-        stats["max_bucket_size"] = int(_cap["m"] or 0)
+        # (bucket-1) for star's window-min edges, and for the bipartite
+        # block-split the exact CROSS-label pair count (C(bucket,2) minus
+        # the per-label within sums — r12; same-label pairs never leave
+        # the candidate join, so counting them overstated the bipartite
+        # bulk). The bucket-size numbers come from the always-on cap audit
+        # above (the same aggregate that materialized the caches — no
+        # extra job); only candidates_distinct costs a probe-only pass.
+        stats["bucket_join_work"] = kept_work
+        stats["max_bucket_size"] = max_kept
         stats["dropped_buckets"] = dropped_buckets
         stats["dropped_emissions"] = dropped_emissions
+        stats["effective_max_bucket"] = eff_cap
+        stats["banded_rows"] = banded_rows
         stats["candidates_distinct"] = cand.count()
 
     if verify in ("grouped", "grouped_perband"):
@@ -912,6 +1085,92 @@ def minhash_lsh_pairs(
         # bucket, so a pair co-occurring in k bands is re-intersected k
         # times before the final distinct() collapses the identical rows.
         once = verify == "grouped"
+        # Flood fail-fast (VERDICT r11 #5): the audit's kept emission count
+        # IS the narrow candidate row count (upper bound for the bipartite
+        # block-split, exact otherwise), known at PLAN time. On a
+        # single-disk local box past _FLOOD_NARROW_ROWS the default lz4
+        # shuffle codec ENOSPCs (r11: 2700x needed zstd to complete), and
+        # spark.io.compression.codec is immutable after session start — so
+        # abort NOW naming the exact knobs instead of dying 10 minutes in.
+        # Clusters (non-local masters) only get the partition escalation:
+        # shuffle partitions ARE runtime-settable, so size them to keep
+        # each reduction task's hash table / sort run in memory and let
+        # AQE coalesce everything smaller right back (gate/bench plans are
+        # untouched — their volumes sit orders of magnitude below this).
+        _spark = banded.sparkSession
+        _action = _flood_escalation(
+            kept_work,
+            _spark.sparkContext.master,
+            _spark.conf.get("spark.io.compression.codec", "lz4"),
+            int(_spark.conf.get("spark.sql.shuffle.partitions")),
+        )
+        if _action is not None:
+            kind, payload = _action
+            if kind == "abort":
+                raise RuntimeError(payload)
+            _spark.conf.set("spark.sql.shuffle.partitions", str(payload))
+            _LOG.warning(
+                "minhash_lsh_pairs: raising spark.sql.shuffle.partitions "
+                "-> %d for a ~%d-row narrow verify shuffle (sticky for "
+                "this session; AQE coalesces small partitions back)",
+                payload,
+                kept_work,
+            )
+        # Packed once-per-pair reduction (VERDICT r11 #2): min over a
+        # STRUCT compiles to SortAggregate (struct buffers aren't hash-agg
+        # mutable), which sorts the full narrow candidate stream — the
+        # dominant remaining cost at flood octaves (~1.3e9 rows at 2700x).
+        # Bit-packing (band, w, i, j) into one long and carrying bkey via
+        # min_by(bkey, packed) keeps BOTH aggregate buffers primitive, so
+        # the reduction compiles to HashAggregate with map-side partial
+        # combine — no sort, and the exchange carries ~distinct pairs per
+        # task instead of raw emissions. Value-identical to the struct
+        # min: within one (band, w) a pair occupies exactly one bucket and
+        # one (i, j), so bkey never tiebreaks and min(packed) selects the
+        # same row lexicographic struct-min did (pinned by
+        # test_grouped_verify_matches_pairs across all three shapes).
+        # Guards: band needs bits 55..62 (bands <= 256) and i/j bits fit
+        # 27 each (max kept bucket < 2^27, known from the audit
+        # histogram); outside that envelope fall back to the struct shape.
+        use_packed = (
+            once
+            and once_reduction == "packed"
+            and bands <= 256
+            and max_kept < (1 << 27)
+        )
+        _IJ_MASK = (1 << 27) - 1
+
+        def _pack_loc(w: int):
+            return (
+                F.shiftleft(F.col("band").cast("long"), 55)
+                .bitwiseOR(F.lit(w << 54).cast("long"))
+                .bitwiseOR(F.shiftleft(F.col("i").cast("long"), 27))
+                .bitwiseOR(F.col("j").cast("long"))
+            )
+
+        def _reduce_packed(narrow):
+            return (
+                narrow.groupBy("id_a", "id_b")
+                .agg(F.min("p").alias("p"), F.min_by("bkey", "p").alias("bkey"))
+                .select(
+                    "id_a",
+                    "id_b",
+                    F.shiftright("p", 55).cast("int").alias("band"),
+                    F.shiftright("p", 54)
+                    .bitwiseAND(F.lit(1).cast("long"))
+                    .cast("int")
+                    .alias("w"),
+                    F.shiftright("p", 27)
+                    .bitwiseAND(F.lit(_IJ_MASK).cast("long"))
+                    .cast("int")
+                    .alias("i"),
+                    F.col("p")
+                    .bitwiseAND(F.lit(_IJ_MASK).cast("long"))
+                    .cast("int")
+                    .alias("j"),
+                    "bkey",
+                )
+            )
 
         def _jac_sh(sh_a, sh_b):
             n_inter = F.size(F.array_intersect(sh_a, sh_b))
@@ -985,6 +1244,16 @@ def minhash_lsh_pairs(
                             )
                         )
                     ).alias("db"),
+                    # INVARIANT (ADVICE r11): every aggregate in this agg
+                    # must be DETERMINISTIC under shuffle re-execution —
+                    # the once shape evaluates `grouped` TWICE (index
+                    # capture + index resolution on the verify join's
+                    # bucket side), so any order-dependent column here
+                    # silently re-introduces the wrong-signature
+                    # dereference that array_sort above fixes. first(_nl)
+                    # is safe ONLY because _nl is bucket-CONSTANT (a
+                    # window over the same (band, bkey) key); do not add
+                    # first/any_value over non-constant columns.
                     F.first("_nl").alias("nl"),
                 )
             )
@@ -1047,37 +1316,51 @@ def minhash_lsh_pairs(
                 # the indices address (0: i in da, j in db; 1: both in
                 # db) — within one band a pair occupies exactly one
                 # bucket and one branch, so loc is unique per band.
-                nc = exc.select(
-                    *_ids(a_c, b_c),
-                    F.struct(
-                        "band", F.lit(0).alias("w"), "bkey", "i", "j"
-                    ).alias("loc"),
-                )
+                if use_packed:
+                    nc = exc.select(
+                        *_ids(a_c, b_c), _pack_loc(0).alias("p"), "bkey"
+                    )
+                else:
+                    nc = exc.select(
+                        *_ids(a_c, b_c),
+                        F.struct(
+                            "band", F.lit(0).alias("w"), "bkey", "i", "j"
+                        ).alias("loc"),
+                    )
                 if binary:
                     narrow = nc
                 else:
-                    nd = exd.filter(
+                    ndf = exd.filter(
                         a_d.getField("_lbl") != b_d.getField("_lbl")
-                    ).select(
-                        *_ids(a_d, b_d),
-                        F.struct(
-                            "band", F.lit(1).alias("w"), "bkey", "i", "j"
-                        ).alias("loc"),
                     )
+                    if use_packed:
+                        nd = ndf.select(
+                            *_ids(a_d, b_d), _pack_loc(1).alias("p"), "bkey"
+                        )
+                    else:
+                        nd = ndf.select(
+                            *_ids(a_d, b_d),
+                            F.struct(
+                                "band", F.lit(1).alias("w"), "bkey", "i", "j"
+                            ).alias("loc"),
+                        )
                     narrow = nc.unionByName(nd)
-                best = (
-                    narrow.groupBy("id_a", "id_b")
-                    .agg(F.min("loc").alias("loc"))
-                    .select(
-                        "id_a",
-                        "id_b",
-                        F.col("loc.band").alias("band"),
-                        F.col("loc.w").alias("w"),
-                        F.col("loc.bkey").alias("bkey"),
-                        F.col("loc.i").alias("i"),
-                        F.col("loc.j").alias("j"),
+                if use_packed:
+                    best = _reduce_packed(narrow)
+                else:
+                    best = (
+                        narrow.groupBy("id_a", "id_b")
+                        .agg(F.min("loc").alias("loc"))
+                        .select(
+                            "id_a",
+                            "id_b",
+                            F.col("loc.band").alias("band"),
+                            F.col("loc.w").alias("w"),
+                            F.col("loc.bkey").alias("bkey"),
+                            F.col("loc.i").alias("i"),
+                            F.col("loc.j").alias("j"),
+                        )
                     )
-                )
                 # (band, bkey) is the aggregation's own output
                 # partitioning — only the narrow pair side exchanges. NO
                 # static join hint: a forced shuffle_hash build of the
@@ -1154,23 +1437,32 @@ def minhash_lsh_pairs(
             if once:
                 # Narrow candidates (ids + location; ds stays put), min
                 # co-occurring band per pair, verify once in that bucket.
-                narrow = ex.select(
-                    a.getField("id").alias("id_a"),
-                    b.getField("id").alias("id_b"),
-                    F.struct("band", "bkey", "i", "j").alias("loc"),
-                )
-                best = (
-                    narrow.groupBy("id_a", "id_b")
-                    .agg(F.min("loc").alias("loc"))
-                    .select(
-                        "id_a",
-                        "id_b",
-                        F.col("loc.band").alias("band"),
-                        F.col("loc.bkey").alias("bkey"),
-                        F.col("loc.i").alias("i"),
-                        F.col("loc.j").alias("j"),
+                if use_packed:
+                    narrow = ex.select(
+                        a.getField("id").alias("id_a"),
+                        b.getField("id").alias("id_b"),
+                        _pack_loc(0).alias("p"),
+                        "bkey",
                     )
-                )
+                    best = _reduce_packed(narrow).drop("w")
+                else:
+                    narrow = ex.select(
+                        a.getField("id").alias("id_a"),
+                        b.getField("id").alias("id_b"),
+                        F.struct("band", "bkey", "i", "j").alias("loc"),
+                    )
+                    best = (
+                        narrow.groupBy("id_a", "id_b")
+                        .agg(F.min("loc").alias("loc"))
+                        .select(
+                            "id_a",
+                            "id_b",
+                            F.col("loc.band").alias("band"),
+                            F.col("loc.bkey").alias("bkey"),
+                            F.col("loc.i").alias("i"),
+                            F.col("loc.j").alias("j"),
+                        )
+                    )
                 # unhinted for the same 32g-OOM reason as the
                 # cross-label branch above (AQE re-converts when safe)
                 joined = best.join(grouped, ["band", "bkey"])

@@ -178,6 +178,10 @@ def ext_dedup_canonical_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair_source=lambda reps: dedup.minhash_lsh_pairs(
             reps, n=3, num_hashes=64, bands=16, threshold=0.5,
             collapse_exact=False, candidate_scope="star",
+            # explicit pin (r12): library default is max_bucket="auto";
+            # boarded queries keep the cap the cross-round determinism
+            # counts were measured under (2700x keep 6,795,593 etc.)
+            max_bucket=1000,
         ),
     )
 
@@ -190,7 +194,8 @@ def ext_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_operators.py; recall is probabilistic, hence no SQL oracle."""
     t = load_tables(spark, sf_dir, names=("documents",))
     return dedup.minhash_lsh_pairs(
-        t["documents"], n=3, num_hashes=64, bands=16, threshold=0.5
+        t["documents"], n=3, num_hashes=64, bands=16, threshold=0.5,
+        max_bucket=1000,  # explicit determinism pin (r12); default is "auto"
     )
 
 
@@ -1582,6 +1587,7 @@ def ext_decontamination_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, n=3, num_hashes=64, bands=32, threshold=0.2,
         bipartite=text.hash_split("text", 90), content_keyed=True,
         max_labels=2,  # hash_split is binary -> plan-time branch skip
+        max_bucket=1000,  # explicit determinism pin (r12); default is "auto"
     )
     return curation.cross_split_contamination(docs, pairs)
 
@@ -1719,7 +1725,10 @@ def ext_decontamination_canonical_lsh(spark: SparkSession, sf_dir: str) -> DataF
     from kafka_etl_automation_spark.operators import curation
 
     t = load_tables(spark, sf_dir, names=("documents",))
-    return curation.decontaminate_canonical_lsh(t["documents"])
+    return curation.decontaminate_canonical_lsh(
+        t["documents"],
+        max_bucket=1000,  # explicit determinism pin (r12); default is "auto"
+    )
 
 
 # Exact 8-gram containment decontamination (the published GPT-3/PaLM-style

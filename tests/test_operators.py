@@ -1689,6 +1689,166 @@ def test_lsh_cap_warns_in_shipping_path(spark, caplog):
     assert not [r for r in caplog.records if "dropped" in r.getMessage()]
 
 
+def test_auto_max_bucket_resolution(spark, caplog):
+    """VERDICT r11 #1: max_bucket='auto' (the r12 default) must keep
+    duplicate-FAMILY corpora uncapped (the fixed-1000 default discarded 50%
+    of true merges at 2700x, where the capped-out buckets WERE the dup
+    families) while the skew guard still bites on boilerplate floods whose
+    in-bucket quadratic work outruns the scale-free emissions-per-banded-row
+    budget. Also pins the ADVICE r11 medium: max_bucket=None used to
+    silently emit ZERO pairs (bsz <= NULL) — it is now the documented
+    uncapped spelling."""
+    import logging
+
+    from kafka_etl_automation_spark.operators import dedup
+
+    # family-heavy corpus: one 8-member near-dup family + background docs
+    stem = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, f"{stem} tail{i % 2} x") for i in range(8)]
+    rows += [(100 + i, f"unrelated background content number {i} here") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(n=3, num_hashes=64, bands=16, threshold=0.2, collapse_exact=False)
+
+    st_auto: dict = {}
+    auto_pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(df, stats=st_auto, **kw).collect()
+    }
+    # family work is linear-ish in banded rows -> auto resolves UNCAPPED
+    assert st_auto["effective_max_bucket"] is None
+    assert st_auto["dropped_buckets"] == 0 and st_auto["dropped_emissions"] == 0
+    # explicit None (uncapped) matches auto and is NONZERO (the old bug
+    # filtered every bucket row through bsz <= NULL)
+    none_pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(df, max_bucket=None, **kw).collect()
+    }
+    assert none_pairs == auto_pairs and len(none_pairs) > 0
+    # a generous explicit cap matches too (family size << cap)
+    cap_pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(df, max_bucket=1000, **kw).collect()
+    }
+    assert cap_pairs == auto_pairs
+
+    # boilerplate flood: shrink the budget so the same bucket-size
+    # distribution now reads as quadratic-dominated -> guard engages,
+    # WARNs, and drops the flooded buckets
+    logger = "kafka_etl_automation_spark.operators.dedup"
+    st_guard: dict = {}
+    with caplog.at_level(logging.WARNING, logger=logger):
+        guard_pairs = {
+            (r.id_a, r.id_b)
+            for r in dedup.minhash_lsh_pairs(
+                df, stats=st_guard, auto_work_per_row=0.5, **kw
+            ).collect()
+        }
+    assert st_guard["effective_max_bucket"] is not None
+    assert st_guard["dropped_buckets"] > 0 and st_guard["dropped_emissions"] > 0
+    assert guard_pairs <= auto_pairs
+    assert [
+        r for r in caplog.records if "engaged the skew guard" in r.getMessage()
+    ]
+    # emissions conservation under the auto-chosen cap
+    assert (
+        st_guard["bucket_join_work"] + st_guard["dropped_emissions"]
+        == st_auto["bucket_join_work"]
+    )
+    # invalid spellings fail fast
+    with pytest.raises(ValueError, match="max_bucket"):
+        dedup.minhash_lsh_pairs(df, max_bucket="uncapped", **kw)
+    with pytest.raises(ValueError, match="max_bucket"):
+        dedup.minhash_lsh_pairs(df, max_bucket=1, **kw)
+
+
+def test_once_reduction_packed_is_hash_aggregable(spark):
+    """VERDICT r11 #2: the once-per-pair reduction's min over a STRUCT
+    compiled to SortAggregate — a full sort (+ spill) of the narrow
+    candidate stream, the dominant remaining flood-octave cost. The packed
+    formulation (bit-packed (band, w, i, j) long + min_by(bkey, packed))
+    must (a) compile to HashAggregate with a map-side partial — NO
+    SortAggregate anywhere in the plan — and (b) stay value-identical to
+    the struct control on the all-pairs, star-grouped, and bipartite
+    contracts (same row selected: within one (band, w) a pair occupies
+    exactly one bucket and one (i, j), so bkey never tiebreaks)."""
+    from kafka_etl_automation_spark.operators import dedup, text
+
+    stem = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, f"{stem} tail{i % 3} x") for i in range(9)]
+    rows += [(100 + i, f"different background content number {i} y") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def res(d):
+        return sorted((r.id_a, r.id_b, round(r.jaccard, 12)) for r in d.collect())
+
+    def plan(d):
+        return d._jdf.queryExecution().executedPlan().toString()
+
+    kw = dict(n=3, num_hashes=64, bands=16, threshold=0.2)
+    packed = dedup.minhash_lsh_pairs(df, verify="grouped", **kw)
+    struct = dedup.minhash_lsh_pairs(
+        df, verify="grouped", once_reduction="struct", **kw
+    )
+    assert "SortAggregate" not in plan(packed)
+    assert "partial_min_by" in plan(packed)  # map-side combine is real
+    assert "SortAggregate" in plan(struct)  # the r11 cost, kept as control
+    r_packed = res(packed)
+    assert r_packed == res(struct) and len(r_packed) > 0
+
+    # star under grouped verify (non-default but supported)
+    skw = dict(kw, collapse_exact=False, candidate_scope="star")
+    sp = dedup.minhash_lsh_pairs(df, verify="grouped", **skw)
+    assert "SortAggregate" not in plan(sp)
+    assert res(sp) == res(
+        dedup.minhash_lsh_pairs(df, verify="grouped", once_reduction="struct", **skw)
+    )
+
+    # bipartite block-split contract (both the attested-binary and
+    # unattested >=2-label plans)
+    bkw = dict(
+        kw, bands=32, bipartite=text.hash_split("text", 50), content_keyed=True
+    )
+    bp = dedup.minhash_lsh_pairs(df, verify="grouped", **bkw)
+    assert "SortAggregate" not in plan(bp)
+    assert res(bp) == res(
+        dedup.minhash_lsh_pairs(df, verify="grouped", once_reduction="struct", **bkw)
+    )
+    ba = dedup.minhash_lsh_pairs(df, verify="grouped", max_labels=2, **bkw)
+    assert "SortAggregate" not in plan(ba)
+    assert res(ba) == res(bp)
+
+    with pytest.raises(ValueError, match="once_reduction"):
+        dedup.minhash_lsh_pairs(df, once_reduction="bogus", **kw)
+
+
+def test_flood_escalation_policy():
+    """VERDICT r11 #5: the grouped verify flood policy is decided at PLAN
+    time from the cap audit's kept emission count — abort on a single-disk
+    local box under the immutable-after-start lz4 codec NAMING the exact
+    knobs, auto-raise the (runtime-settable) shuffle partitions otherwise,
+    and never touch sub-flood plans (gate/bench volumes sit orders of
+    magnitude below the ceiling)."""
+    from kafka_etl_automation_spark.operators import dedup
+
+    flood = dedup._FLOOD_NARROW_ROWS
+    # sub-flood: untouched regardless of env
+    assert dedup._flood_escalation(flood, "local[32]", "lz4", 32) is None
+    assert dedup._flood_escalation(10_000, "local[32]", "lz4", 32) is None
+    # flood + local + lz4: abort naming the knobs
+    kind, msg = dedup._flood_escalation(2 * flood, "local[32]", "lz4", 32)
+    assert kind == "abort"
+    assert "SPARK_GRAFT_IO_CODEC=zstd" in msg and "max_bucket" in msg
+    # flood + local + zstd: partition escalation, sized to the volume
+    kind, n = dedup._flood_escalation(2 * flood, "local[32]", "zstd", 32)
+    assert kind == "raise_partitions"
+    assert n == (2 * flood) // dedup._FLOOD_ROWS_PER_PARTITION
+    # flood on a CLUSTER master: never abort (multi-disk), just escalate
+    kind, n = dedup._flood_escalation(2 * flood, "spark://host:7077", "lz4", 32)
+    assert kind == "raise_partitions" and n > 32
+    # partitions already sized: nothing to do
+    assert dedup._flood_escalation(2 * flood, "local[32]", "zstd", 4096) is None
+
+
 def test_ngram_overlap_bloom_generic_id_type(spark):
     """ADVICE r09: the bloom variant's pandas-UDF schemas derived their id
     field from a hardcoded long — a string doc_id failed at runtime with an
@@ -1736,7 +1896,11 @@ def test_spill_level_probe(spark):
     assert int(sc._jvm.java.lang.Runtime.getRuntime().maxMemory()) > 0
     df = curation._cache_persisted(spark.range(10).toDF("id"))
     assert df.storageLevel == StorageLevel.MEMORY_AND_DISK
-    df.unpersist()
+    # release via the tracked-cache helper, NOT a bare unpersist (ADVICE
+    # r11: out-of-band unpersist left the dead frame in _CORPUS_CACHES,
+    # shrinking the effective cap for later tests in the same session)
+    assert curation._cache_release(df) is True
+    assert all(c is not df for c in curation._CORPUS_CACHES)
 
 
 def test_grouped_bucket_blocks_are_sorted(spark):

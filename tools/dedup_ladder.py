@@ -152,7 +152,6 @@ def main() -> int:
             "documents"
         ]
         n_docs = docs.count()
-        UNCAP = 10**9
 
         def keep_list(max_bucket, stats=None):
             return dedup.canonical_keep_list(
@@ -164,28 +163,43 @@ def main() -> int:
                 ),
             )
 
+        # Three legs (r12): the determinism-pinned cap=1000 (what the
+        # boarded queries run), the library DEFAULT max_bucket="auto"
+        # (VERDICT r11 #1's done-criterion: >=0.99 merge recall under
+        # defaults at the top octave), and explicit uncapped (truth — LSH
+        # candidates are exact-verified, so every uncapped pair is true).
         st_cap: dict = {}
         k_cap = keep_list(1000, st_cap).count()
         spark.catalog.clearCache()
-        k_uncap = keep_list(UNCAP).count()
+        st_auto: dict = {}
+        k_auto = keep_list("auto", st_auto).count()
         spark.catalog.clearCache()
-        rec = {
-            "metric": "cap_merge_recall",
-            "sf_dir": cap_recall_dir,
-            "n_docs": n_docs,
-            "keep_capped": k_cap,
-            "keep_uncapped": k_uncap,
-            "dropped_buckets": st_cap.get("dropped_buckets"),
-            "dropped_emissions": st_cap.get("dropped_emissions"),
-            "value": round(
-                (n_docs - k_cap) / (n_docs - k_uncap)
-                if n_docs > k_uncap
-                else 1.0,
+        k_uncap = keep_list(None).count()
+        spark.catalog.clearCache()
+
+        def _recall(k):
+            return round(
+                (n_docs - k) / (n_docs - k_uncap) if n_docs > k_uncap else 1.0,
                 5,
-            ),
-        }
-        print(json.dumps(rec), flush=True)
-        out.append(rec)
+            )
+
+        for metric, k, st in (
+            ("cap_merge_recall", k_cap, st_cap),
+            ("default_merge_recall", k_auto, st_auto),
+        ):
+            rec = {
+                "metric": metric,
+                "sf_dir": cap_recall_dir,
+                "n_docs": n_docs,
+                "keep": k,
+                "keep_uncapped": k_uncap,
+                "effective_max_bucket": st.get("effective_max_bucket"),
+                "dropped_buckets": st.get("dropped_buckets"),
+                "dropped_emissions": st.get("dropped_emissions"),
+                "value": _recall(k),
+            }
+            print(json.dumps(rec), flush=True)
+            out.append(rec)
 
         def decon_evals(max_bucket):
             return {
@@ -197,19 +211,25 @@ def main() -> int:
 
         ev_cap = decon_evals(1000)
         spark.catalog.clearCache()
-        ev_uncap = decon_evals(UNCAP)
+        ev_auto = decon_evals("auto")
         spark.catalog.clearCache()
-        rec = {
-            "metric": "cap_eval_coverage",
-            "sf_dir": cap_recall_dir,
-            "evals_capped": len(ev_cap),
-            "evals_uncapped": len(ev_uncap),
-            "value": round(
-                len(ev_cap & ev_uncap) / len(ev_uncap) if ev_uncap else 1.0, 5
-            ),
-        }
-        print(json.dumps(rec), flush=True)
-        out.append(rec)
+        ev_uncap = decon_evals(None)
+        spark.catalog.clearCache()
+        for metric, ev in (
+            ("cap_eval_coverage", ev_cap),
+            ("default_eval_coverage", ev_auto),
+        ):
+            rec = {
+                "metric": metric,
+                "sf_dir": cap_recall_dir,
+                "evals": len(ev),
+                "evals_uncapped": len(ev_uncap),
+                "value": round(
+                    len(ev & ev_uncap) / len(ev_uncap) if ev_uncap else 1.0, 5
+                ),
+            }
+            print(json.dumps(rec), flush=True)
+            out.append(rec)
 
     print(json.dumps({"ladder": out}))
     return 0
