@@ -410,6 +410,7 @@ def decontaminate_canonical_lsh(
     max_bucket: int | str | None = "auto",
     verify: str | None = None,
     verify_contam: str | None = None,
+    once_reduction: str = "packed",
 ) -> DataFrame:
     """The deployable decontaminate-against-deduped-corpus shape, with ONE
     shared signature build feeding both LSH passes (VERDICT r07 #2).
@@ -420,6 +421,9 @@ def decontaminate_canonical_lsh(
     (tools/r11_verify_ab.py) so e.g. the r10 per-band-recompute control
     ("grouped_perband") can be measured against the r11 once-per-pair
     "grouped" without also flipping the star pass off its own default.
+    ``once_reduction`` passes through to both LSH passes (VERDICT r11 #2's
+    A/B knob: the hash-aggregable "packed" once-per-pair reduction vs the
+    r11 "struct" SortAggregate control — see minhash_lsh_pairs).
 
     ``verify`` defaults to None = contract-aware per pass (the r10
     measured shape): pass 1's STAR keep-list verifies per-pair (its
@@ -498,6 +502,7 @@ def decontaminate_canonical_lsh(
         candidate_scope="star",
         sig_source=train_sig,
         verify=verify,
+        once_reduction=once_reduction,
     )
     comp = dedup.connected_components(
         keep_pairs, train_sig.select(F.col("id").alias(id_col)), id_col=id_col
@@ -525,6 +530,7 @@ def decontaminate_canonical_lsh(
         sig_source=corpus_sig,
         bipartite_col="_lbl",
         verify=verify_contam if verify_contam is not None else verify,
+        once_reduction=once_reduction,
         # hash_split labels are binary by construction -> grouped verify
         # skips its within-rest-block branch at plan time
         max_labels=2,

@@ -14,8 +14,14 @@ shipping contract-aware fork picks). For QUERY=dedup the mode is the star
 keep-list's verify directly.
 
 Usage: python tools/r11_verify_ab.py DIR QUERY MODE [--runs 2]
+         [--reduction packed|struct] [--max-bucket N|auto|none]
   QUERY in {dedup, decon}
   MODE  in {pairs, grouped, grouped_perband, default}
+
+r12 flags: ``--reduction`` A/Bs the hash-aggregable packed once-per-pair
+reduction (VERDICT r11 #2) against the r11 min(struct) SortAggregate
+control; ``--max-bucket 1000`` reproduces the r11 pinned contract counts
+(348,173 / 431,985) now that the library default is "auto".
 """
 
 from __future__ import annotations
@@ -32,6 +38,19 @@ def main() -> int:
     runs = 2
     if "--runs" in sys.argv:
         runs = int(sys.argv[sys.argv.index("--runs") + 1])
+    # --reduction packed|struct (VERDICT r11 #2): A/B the hash-aggregable
+    # once-per-pair reduction against the r11 min(struct) SortAggregate
+    # control. Only meaningful for grouped/default modes.
+    reduction = "packed"
+    if "--reduction" in sys.argv:
+        reduction = sys.argv[sys.argv.index("--reduction") + 1]
+    # --max-bucket N|auto|none: r11's pinned octave rows (348,173 at 900x /
+    # 431,985 at 2700x) are the max_bucket=1000 CONTRACT counts — pass
+    # 1000 to compare against them now that the library default is "auto".
+    max_bucket: object = "auto"
+    if "--max-bucket" in sys.argv:
+        raw = sys.argv[sys.argv.index("--max-bucket") + 1]
+        max_bucket = None if raw == "none" else raw if raw == "auto" else int(raw)
     verify = None if mode == "default" else mode
 
     from kafka_etl_automation_spark.catalog import load_tables
@@ -48,11 +67,13 @@ def main() -> int:
                 pair_source=lambda reps: dedup.minhash_lsh_pairs(
                     reps, n=3, num_hashes=64, bands=16, threshold=0.5,
                     collapse_exact=False, candidate_scope="star",
-                    verify=verify,
+                    verify=verify, once_reduction=reduction,
+                    max_bucket=max_bucket,
                 ),
             ).count()
         return curation.decontaminate_canonical_lsh(
-            docs, verify_contam=verify
+            docs, verify_contam=verify, once_reduction=reduction,
+            max_bucket=max_bucket,
         ).count()
 
     walls, rows = [], None
@@ -64,7 +85,7 @@ def main() -> int:
     print(
         json.dumps(
             {
-                "control": f"{query}_verify_{mode}",
+                "control": f"{query}_verify_{mode}_{reduction}_mb{max_bucket}",
                 "sf_dir": sf_dir,
                 "rows": rows,
                 "wall_sec": min(walls),
