@@ -472,6 +472,14 @@ def decontaminate_canonical_lsh(
     """
     from kafka_etl_automation_spark.operators import dedup
 
+    # Scale-adaptive shuffle floor BEFORE the first wide stage (guide §2 /
+    # r12): at the 2700x octave the default 32 local partitions OOM the
+    # pass-2 corpus-signature materialization at the default heap; the
+    # floor derives partitions from the source scan size (~2 MiB/partition,
+    # anchored to r11's measured 512p@1.2GB working point) so the octave
+    # ladders need no SPARK_GRAFT_SHUFFLE_PARTITIONS folklore. No-op at
+    # gate/bench SFs (they sit under the floor).
+    dedup.scale_partition_floor(documents)
     split = text.hash_split(text_col, train_pct)
     reps, members = dedup._exact_text_collapse(documents, text_col, id_col)
     # One signed frame for everything downstream. The label join costs one

@@ -20,6 +20,7 @@ signatures are reproducible across runs/partitionings.
 from __future__ import annotations
 
 import logging
+import os
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -455,6 +456,81 @@ def _flood_escalation(
     return None
 
 
+# Scale-adaptive shuffle-partition floor (guide §2: partitioning must
+# derive from input size, not a constant tuned for either local mode or
+# the cluster). ~2 MiB of source parquet per shuffle partition anchors to
+# the measured working point: the 2700x octave's 1.2 GB documents table
+# ran the canonical pipelines at 32 GB heap with 512 partitions (r11,
+# BENCH_SCALE.md) = 2.3 MiB/partition, while 32 partitions — the local
+# default — OOMs the pass-2 corpus materialization at that octave (r12,
+# measured on this host: Java heap space in _cache_persisted). Gate/bench
+# SFs sit far below the floor (sf0.1 documents ≈ 2 MB -> want 1), so
+# their plans and walls are untouched; AQE coalesces any over-partitioned
+# small stage right back.
+_SCALE_BYTES_PER_PARTITION = 2 * 1024 * 1024
+_SCALE_PARTITION_CAP = 2048
+
+
+def _partition_floor(input_bytes: int, cur_partitions: int) -> int | None:
+    """Pure sizing rule: partitions the input's heavy shuffles want, or
+    None when the current setting already suffices. Never lowers."""
+    want = min(_SCALE_PARTITION_CAP, input_bytes // _SCALE_BYTES_PER_PARTITION)
+    return int(want) if want > cur_partitions else None
+
+
+def scale_partition_floor(df: DataFrame) -> int | None:
+    """Raise ``spark.sql.shuffle.partitions`` to a floor derived from
+    ``df``'s file-source scan size, session-sticky, never lowering.
+
+    Replaces the SPARK_GRAFT_SHUFFLE_PARTITIONS env folklore for the
+    octave ladders: every corpus-scale pipeline entry calls this BEFORE
+    its first wide stage, so per-task state (signature-cache unroll, join
+    builds, sort runs) shrinks with corpus growth automatically instead
+    of requiring the operator to know the magic number. Input size comes
+    from the driver-side file listing (``df.inputFiles`` + stat for
+    ``file:`` URIs — zero Spark jobs). Frames with no stat-able local file
+    source (in-memory relations, RDD-backed plans, remote schemes) are
+    left alone: Catalyst's fallback ``sizeInBytes`` is NOT a usable proxy
+    here — it defaults to ``Long.MaxValue`` for RDD-backed plans and
+    multiplies children for joins, so trusting it once leaked a sticky
+    2048-partition conf into a test session and broke unrelated streaming
+    queries (no AQE coalescing there) with 2048-task state-store stages
+    overflowing ``spark.driver.maxResultSize``. Returns the new floor or
+    None.
+    """
+    spark = df.sparkSession
+    total = 0
+    try:
+        from urllib.parse import unquote, urlparse
+
+        for uri in df.inputFiles():
+            parsed = urlparse(uri)
+            if parsed.scheme in ("file", ""):
+                try:
+                    total += os.path.getsize(unquote(parsed.path))
+                except OSError:
+                    pass
+            else:
+                return None  # non-local scheme: no trustworthy size
+    except Exception:
+        return None  # size unavailable -> leave the session conf alone
+    if total == 0:
+        return None  # no file source backing this frame
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    want = _partition_floor(total, cur)
+    if want is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(want))
+        _LOG.warning(
+            "scale_partition_floor: raising spark.sql.shuffle.partitions "
+            "%d -> %d for a ~%.1f GB file-source corpus (sticky for this "
+            "session; AQE coalesces small partitions back)",
+            cur,
+            want,
+            total / 2**30,
+        )
+    return want
+
+
 def release_collapse_caches() -> int:
     """Unpersist every member map cached by `_exact_text_collapse`.
 
@@ -832,6 +908,9 @@ def minhash_lsh_pairs(
             )
         src = sig_source
     else:
+        # corpus-sized per-task state starts at the signature build —
+        # size the shuffle floor from the source scan before it runs
+        scale_partition_floor(df)
         src = signature_sets(df, text_col, id_col, n, num_hashes).persist(
             StorageLevel.MEMORY_AND_DISK
         )
@@ -1704,6 +1783,7 @@ def canonical_keep_list(
     generation banded/bounded (recall then follows the LSH probability,
     which is why that shape is measured, not oracle-checked).
     """
+    scale_partition_floor(df)
     reps, members = _exact_text_collapse(df, text_col, id_col)
     if pair_source is None:
         pairs = ngram_jaccard_pairs(reps, text_col, id_col, n, threshold)

@@ -1849,6 +1849,66 @@ def test_flood_escalation_policy():
     assert dedup._flood_escalation(2 * flood, "local[32]", "zstd", 4096) is None
 
 
+def test_scale_partition_floor(spark, monkeypatch):
+    """r12: the scale-adaptive shuffle floor replaces the
+    SPARK_GRAFT_SHUFFLE_PARTITIONS env folklore — partitions derive from
+    the source scan size (~2 MiB/partition, anchored to r11's measured
+    512p @ 1.2 GB 2700x working point), never lower, and stay a no-op at
+    gate/bench SFs so boarded plans and walls are untouched."""
+    from kafka_etl_automation_spark.catalog import load_tables
+    from kafka_etl_automation_spark.operators import dedup
+
+    # pure sizing rule: under the floor -> None; above -> bytes/2MiB; capped
+    assert dedup._partition_floor(4 * 2**20, 32) is None
+    assert dedup._partition_floor(1_200 * 2**20, 32) == 600
+    assert dedup._partition_floor(1_200 * 2**20, 1024) is None  # never lower
+    assert (
+        dedup._partition_floor(10**13, 32) == dedup._SCALE_PARTITION_CAP
+    )
+
+    docs = load_tables(spark, SF_SMALL, names=("documents",))["documents"]
+    # the floor is session-sticky by design, so an earlier test may have
+    # left the conf raised — pin a known starting point and restore after
+    restore = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        # gate-SF corpus sits far below the floor: conf untouched
+        assert dedup.scale_partition_floor(docs) is None
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+
+        # an octave-sized corpus (simulated via the stat seam) raises it
+        import os as _os
+
+        real_getsize = _os.path.getsize
+        monkeypatch.setattr(
+            dedup.os.path, "getsize", lambda p: real_getsize(p) + 2 * 2**30
+        )
+        floor = dedup.scale_partition_floor(docs)
+        assert floor is not None and floor > 4
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(floor)
+        # second call: already at the floor -> no further raise
+        assert dedup.scale_partition_floor(docs) is None
+
+        # regression (r12): frames with NO stat-able file source must
+        # no-op — Catalyst's fallback sizeInBytes is Long.MaxValue for
+        # RDD-backed plans and a child-product for joins, and trusting it
+        # once leaked a sticky 2048-partition conf that broke the
+        # streaming interval-join tests (2048-task state-store stages
+        # overflow spark.driver.maxResultSize; streaming has no AQE).
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        local = spark.createDataFrame([("a", 1)], ["text", "doc_id"])
+        assert dedup.scale_partition_floor(local) is None
+        rdd_backed = spark.createDataFrame(
+            spark.sparkContext.parallelize([("a", 1)]), ["text", "doc_id"]
+        )
+        assert dedup.scale_partition_floor(rdd_backed) is None
+        joined = local.join(local.select("doc_id"), "doc_id")
+        assert dedup.scale_partition_floor(joined) is None
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", restore)
+
+
 def test_ngram_overlap_bloom_generic_id_type(spark):
     """ADVICE r09: the bloom variant's pandas-UDF schemas derived their id
     field from a hardcoded long — a string doc_id failed at runtime with an

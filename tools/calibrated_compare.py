@@ -33,8 +33,13 @@ def main() -> int:
     if len(args) != 2:
         print(__doc__)
         return 2
+    # Driver-written BENCH_rNN.json artifacts wrap the bench line in a
+    # {"n", "rc", ..., "parsed": {...}} envelope; locally-saved ones are
+    # the bench line itself. Accept both.
     old = json.load(open(args[0]))
     new = json.load(open(args[1]))
+    old = old.get("parsed", old)
+    new = new.get("parsed", new)
     c_old, c_new = old.get("calib_sec"), new.get("calib_sec")
     if not c_old or not c_new:
         print(
