@@ -490,11 +490,18 @@ def decontaminate_canonical_lsh(
     # reps feeds the signature build AND the label projection — persisted,
     # or the collapse group-agg re-executes per reference (the same lesson
     # the r07 ladder taught for the corpus frame)
-    reps = _cache_persisted(reps, eager=False)  # sig's count covers it
+    reps = _cache_persisted(reps, eager=False)  # pass 1's audit covers it
+    # eager=False (VERDICT r12 #1): pass 1's always-on cap audit is the
+    # FIRST job after this frame exists and scans banded <- train_sig <-
+    # sig, so it materializes sig (and reps transitively) in the same job
+    # — the dedicated count here was a full extra signature pass at every
+    # scale. Planning inside that audit job sees the identical
+    # unmaterialized-reps state the old sig.count() planned against.
     sig = _cache_persisted(
         dedup.signature_sets(reps, text_col, id_col, n, num_hashes).join(
             reps.select(F.col(id_col).alias("id"), split.alias("_lbl")), "id"
-        )
+        ),
+        eager=False,
     )
 
     # Pass 1: star-scope keep-list over the train rows of the signed frame
@@ -522,10 +529,15 @@ def decontaminate_canonical_lsh(
     # sides — without it each reference re-runs the semi join + union over
     # the cached signed frame (3x the corpus-wide semi-join shuffle at
     # scale).
+    # eager=False: pass 2's cap audit scans banded <- corpus_sig first
+    # thing, materializing this cache in the same job (sig itself is
+    # already materialized by pass 1, so the semi-join + union plan here
+    # is over measured stats either way).
     corpus_sig = _cache_persisted(
         sig.join(kept_ids, "id", "semi").unionByName(
             sig.filter(F.col("_lbl") == "eval")
-        )
+        ),
+        eager=False,
     )
     rep_pairs = dedup.minhash_lsh_pairs(
         None,
@@ -575,6 +587,9 @@ def decontaminate_canonical_lsh(
         "rep",
         "semi",
     )
+    # both LSH passes + CC were the overlap window for the collapse's
+    # async member count — settle before the member fan-out is handed back
+    dedup._settle_async_counts()
     return rep_report.join(
         eval_members, rep_report["eval_rep"] == eval_members["rep"]
     ).select(

@@ -21,11 +21,90 @@ from __future__ import annotations
 
 import logging
 import os
+import threading
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _LOG = logging.getLogger(__name__)
+
+# Async eager-count bookkeeping (guide §2.6 — overlap independent jobs):
+# each entry is (thread, holder) where holder carries any exception the
+# count raised, re-raised at settle time so failures are never swallowed.
+_PENDING_COUNTS: list = []
+
+# Source-size ceiling below which the collapse's cache-materialization
+# count may run CONCURRENTLY with the pipeline's next construction job
+# instead of blocking it. Rationale: the eager counts exist so the static
+# planner sees MEASURED InMemoryRelation sizes before any derived frame
+# lands on a broadcast build side; for a file-backed corpus at most this
+# size, every derived narrow frame (grp / members: 16-24 B/doc vs the
+# source's full text rows) is itself far under the session's 64 MiB
+# autoBroadcastJoinThreshold, so a broadcast picked from an unmaterialized
+# ESTIMATE is safe regardless of the race. Past the ceiling (octave
+# ladders, real clusters) the counts stay sequential-eager — there they
+# are real data-plane work, not fixed overhead, and the measured-stats
+# ordering is load-bearing. Matches session.py's broadcast threshold.
+_SMALL_SOURCE_BYTES = 64 * 1024 * 1024
+
+
+def _local_input_bytes(df: DataFrame) -> int | None:
+    """Total stat-able local file bytes behind ``df``'s scan, or None when
+    the frame has no trustworthy local file source (in-memory relations,
+    RDD-backed plans, remote schemes). Driver-side listing only — zero
+    Spark jobs. Shared by scale_partition_floor and the small-source
+    fast paths."""
+    total = 0
+    try:
+        from urllib.parse import unquote, urlparse
+
+        for uri in df.inputFiles():
+            parsed = urlparse(uri)
+            if parsed.scheme in ("file", ""):
+                try:
+                    total += os.path.getsize(unquote(parsed.path))
+                except OSError:
+                    pass
+            else:
+                return None  # non-local scheme: no trustworthy size
+    except Exception:
+        return None
+    return total if total > 0 else None
+
+
+def _eager_count(frame: DataFrame, overlap: bool) -> None:
+    """Materialize a persisted frame via ``count()`` — inline, or on a
+    daemon thread when ``overlap`` (the small-source regime above). Async
+    counts MUST be settled via :func:`_settle_async_counts` before the
+    constructed pipeline is returned to the caller, so downstream actions
+    always plan against fully-measured caches — the overlap window is the
+    pipeline's own construction-time jobs (audit collects, CC rounds)."""
+    if not overlap:
+        frame.count()
+        return
+    holder: dict = {}
+
+    def _run() -> None:
+        try:
+            frame.count()
+        except BaseException as exc:  # re-raised at settle
+            holder["exc"] = exc
+
+    t = threading.Thread(target=_run, name="graft-async-count", daemon=True)
+    t.start()
+    _PENDING_COUNTS.append((t, holder))
+
+
+def _settle_async_counts() -> None:
+    """Join every in-flight async count, re-raising the first failure."""
+    first_exc = None
+    while _PENDING_COUNTS:
+        t, holder = _PENDING_COUNTS.pop()
+        t.join()
+        if first_exc is None and "exc" in holder:
+            first_exc = holder["exc"]
+    if first_exc is not None:
+        raise first_exc
 
 
 def normalized_text(col: Column | str) -> Column:
@@ -393,7 +472,14 @@ def _exact_text_collapse(
     members = _cache_collapse(
         keyed.join(grp, ["_kl", "_kh"]).select("rep", "member")
     )
-    members.count()  # eager, same reason
+    # Eager, same reason — but for a provably-small file-backed source the
+    # count runs CONCURRENTLY with the pipeline's next construction job
+    # (guide §2.6; see _SMALL_SOURCE_BYTES for why the stats race is safe
+    # there) and is settled before the constructed pipeline returns. At
+    # bench SF this removes one full sequential job per collapse-backed
+    # query; at octave/cluster scale behavior is unchanged.
+    size = _local_input_bytes(df)
+    _eager_count(members, overlap=size is not None and size <= _SMALL_SOURCE_BYTES)
     reps = df.join(
         grp.select(F.col("rep").alias(id_col)), id_col, "semi"
     )
@@ -420,6 +506,16 @@ _FLOOD_NARROW_ROWS = 800_000_000
 # partition escalation target: ~12.5M narrow rows (~500 MB raw) per
 # reduction task keeps each hash table / spill run comfortably in memory
 _FLOOD_ROWS_PER_PARTITION = 12_500_000
+
+# Cap-audit skip bound (r13 fast path): with an explicit int cap and no
+# stats probe, the bucket-size histogram is skipped when the WORST-CASE
+# kept emission volume (banded_rows x (cap-1) / 2) sits at or under this
+# bound — then the flood policy is settled conservatively (worst case is
+# already under the ENOSPC ceiling) and the packed-reduction index bound
+# is the cap itself. Equal to the flood ceiling, but a separate knob so
+# tests can exercise the full-audit path without also tripping the
+# flood abort.
+_AUDIT_SKIP_MAX_WORST = _FLOOD_NARROW_ROWS
 
 
 def _flood_escalation(
@@ -478,6 +574,40 @@ def _partition_floor(input_bytes: int, cur_partitions: int) -> int | None:
     return int(want) if want > cur_partitions else None
 
 
+# First-raise snapshot of spark.sql.shuffle.partitions, keyed by Spark
+# application id: scale_partition_floor / the flood escalation raise the
+# conf session-sticky (the floored PIPELINE executes lazily, so the raise
+# must outlive the builder call), but a STREAMING query started later in
+# the same session must not inherit it — streaming gets no AQE coalescing,
+# and a 2048-partition state-store stage overflows
+# spark.driver.maxResultSize (the r12 incident; ADVICE r12 medium). The
+# streaming builders call restore_shuffle_partitions() before starting
+# their query; the next batch-pipeline entry re-derives its floor from its
+# own input size, so nothing is lost.
+_PRE_RAISE_PARTITIONS: dict[str, str] = {}
+
+
+def _remember_pre_raise_partitions(spark, cur: int) -> None:
+    _PRE_RAISE_PARTITIONS.setdefault(spark.sparkContext.applicationId, str(cur))
+
+
+def restore_shuffle_partitions(spark) -> int | None:
+    """Restore ``spark.sql.shuffle.partitions`` to its value before the
+    first scale_partition_floor / flood-escalation raise of this session.
+    No-op when nothing was ever raised. Returns the restored value."""
+    prev = _PRE_RAISE_PARTITIONS.pop(spark.sparkContext.applicationId, None)
+    if prev is None:
+        return None
+    spark.conf.set("spark.sql.shuffle.partitions", prev)
+    _LOG.warning(
+        "restore_shuffle_partitions: restoring spark.sql.shuffle.partitions "
+        "to the pre-floor value %s before a streaming query (streaming has "
+        "no AQE coalescing; batch pipelines re-derive their floor per call)",
+        prev,
+    )
+    return int(prev)
+
+
 def scale_partition_floor(df: DataFrame) -> int | None:
     """Raise ``spark.sql.shuffle.partitions`` to a floor derived from
     ``df``'s file-source scan size, session-sticky, never lowering.
@@ -499,26 +629,19 @@ def scale_partition_floor(df: DataFrame) -> int | None:
     None.
     """
     spark = df.sparkSession
-    total = 0
+    total = _local_input_bytes(df)
+    if total is None:
+        return None  # no stat-able file source -> leave the conf alone
     try:
-        from urllib.parse import unquote, urlparse
-
-        for uri in df.inputFiles():
-            parsed = urlparse(uri)
-            if parsed.scheme in ("file", ""):
-                try:
-                    total += os.path.getsize(unquote(parsed.path))
-                except OSError:
-                    pass
-            else:
-                return None  # non-local scheme: no trustworthy size
+        # conf read inside the fail-safe too (ADVICE r12): a non-numeric
+        # or unreadable session value must degrade to the documented
+        # leave-the-conf-alone no-op, not raise out of the operator
+        cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except Exception:
-        return None  # size unavailable -> leave the session conf alone
-    if total == 0:
-        return None  # no file source backing this frame
-    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        return None
     want = _partition_floor(total, cur)
     if want is not None:
+        _remember_pre_raise_partitions(spark, cur)
         spark.conf.set("spark.sql.shuffle.partitions", str(want))
         _LOG.warning(
             "scale_partition_floor: raising spark.sql.shuffle.partitions "
@@ -756,7 +879,13 @@ def minhash_lsh_pairs(
         ADVICE r11 medium; now it is the documented uncapped spelling.)
       - an ``int``: a hard cap, for cross-round determinism pins and
         corpora whose flood shape is known. Size it ABOVE the expected
-        duplicate family size; the audit WARNs whenever it bites.
+        duplicate family size. The audit runs (and WARNs on any bite)
+        whenever the worst-case kept volume — banded_rows x (cap-1)/2 —
+        exceeds the flood ceiling, which covers every corpus where a cap
+        has ever measurably bitten; below that bound the histogram job is
+        skipped at build time (r13: one less aggregation pass per
+        operator) and a biting cap is NOT warned — pass ``stats=`` or use
+        ``"auto"`` for always-audited runs.
 
     ``collapse_exact`` (default on — the deployable shape) runs the whole
     LSH pipeline on DISTINCT texts only and fans verified pairs back out
@@ -867,6 +996,14 @@ def minhash_lsh_pairs(
             "row-identity labels"
         )
 
+    if sig_source is None:
+        # Size the shuffle floor from the source scan BEFORE the first
+        # wide stage — the exact-collapse groupBy and the eager member
+        # count below are corpus-scale shuffles too (ADVICE r12: the old
+        # placement below the collapse left them at the session default
+        # at octave scale; canonical_keep_list/decontaminate_canonical_lsh
+        # already floored before collapse, this entry did not).
+        scale_partition_floor(df)
     if collapse_exact:
         df, members = _exact_text_collapse(df, text_col, id_col)
     # (id, label) projection for bipartite filtering. Taken AFTER collapse,
@@ -908,9 +1045,6 @@ def minhash_lsh_pairs(
             )
         src = sig_source
     else:
-        # corpus-sized per-task state starts at the signature build —
-        # size the shuffle floor from the source scan before it runs
-        scale_partition_floor(df)
         src = signature_sets(df, text_col, id_col, n, num_hashes).persist(
             StorageLevel.MEMORY_AND_DISK
         )
@@ -994,15 +1128,45 @@ def minhash_lsh_pairs(
         _per_bucket = banded.groupBy("band", "bkey").agg(
             _c.alias("count"), (_c * (_c - 1)).alias("w2")
         )
-    _hist = (
-        _per_bucket.groupBy("count")
-        .agg(F.count(F.lit(1)).alias("nb"), F.sum("w2").alias("w2"))
-        .collect()
-    )
-    _sizes = sorted((int(r["count"]), int(r["nb"]), int(r["w2"])) for r in _hist)
-    banded_rows = sum(c * nb for c, nb, _ in _sizes)
-    total_work = sum(w2 for _, _, w2 in _sizes) // 2
-    if max_bucket == "auto":
+    # Fast path (VERDICT r12 #1): an EXPLICIT-int cap needs the histogram
+    # only for (a) the cap-bite WARN, (b) the flood policy's kept-emission
+    # count, (c) the packed reduction's index bound. When the worst-case
+    # kept volume — every banded row in a bucket exactly at the cap,
+    # banded_rows * (cap-1) / 2 emissions — already sits under the flood
+    # ceiling, (b) is settled conservatively and (c) is bounded by the cap
+    # itself, so the per-bucket + histogram aggregations are replaced by a
+    # plain count (the same job that materializes the src/banded caches,
+    # minus two aggregation stages and the collect). The trade, documented:
+    # in this provably-under-ceiling regime a biting cap is not WARNed —
+    # every corpus where a cap has ever measurably bitten (the 900x/2700x
+    # octaves) exceeds the worst-case bound and takes the full audit.
+    # "auto" resolution and stats= probes always take the full audit.
+    _fast = isinstance(max_bucket, int) and stats is None
+    if _fast:
+        banded_rows = banded.count()
+        _worst_kept = banded_rows * (max_bucket - 1) // 2
+        _fast = _worst_kept <= _AUDIT_SKIP_MAX_WORST
+    if _fast:
+        eff_cap = max_bucket
+        kept_work = _worst_kept  # upper bound, <= the flood ceiling
+        max_kept = max_bucket  # upper bound; packed guard needs < 2^27
+        total_work = _worst_kept
+        dropped_buckets = 0  # unknown on this path (no WARN possible)
+        dropped_emissions = 0
+    else:
+        _hist = (
+            _per_bucket.groupBy("count")
+            .agg(F.count(F.lit(1)).alias("nb"), F.sum("w2").alias("w2"))
+            .collect()
+        )
+        _sizes = sorted(
+            (int(r["count"]), int(r["nb"]), int(r["w2"])) for r in _hist
+        )
+        banded_rows = sum(c * nb for c, nb, _ in _sizes)
+        total_work = sum(w2 for _, _, w2 in _sizes) // 2
+    if _fast:
+        pass
+    elif max_bucket == "auto":
         # Scale-free budget: allow up to auto_work_per_row candidate
         # emissions per banded row. Linear-in-corpus work (duplicate
         # families included — their members grow the denominator) stays
@@ -1037,16 +1201,21 @@ def minhash_lsh_pairs(
             )
     else:
         eff_cap = max_bucket  # int (hard cap) or None (uncapped)
-    kept_work = (
-        sum(w2 for c, _, w2 in _sizes if eff_cap is None or c <= eff_cap) // 2
-    )
-    max_kept = max(
-        (c for c, _, _ in _sizes if eff_cap is None or c <= eff_cap), default=0
-    )
-    dropped_buckets = (
-        0 if eff_cap is None else sum(nb for c, nb, _ in _sizes if c > eff_cap)
-    )
-    dropped_emissions = total_work - kept_work
+    if not _fast:
+        kept_work = (
+            sum(w2 for c, _, w2 in _sizes if eff_cap is None or c <= eff_cap)
+            // 2
+        )
+        max_kept = max(
+            (c for c, _, _ in _sizes if eff_cap is None or c <= eff_cap),
+            default=0,
+        )
+        dropped_buckets = (
+            0
+            if eff_cap is None
+            else sum(nb for c, nb, _ in _sizes if c > eff_cap)
+        )
+        dropped_emissions = total_work - kept_work
     if dropped_buckets > 0 and not isinstance(max_bucket, str):
         _LOG.warning(
             "minhash_lsh_pairs: max_bucket=%d dropped %d flooded bucket(s) "
@@ -1187,6 +1356,9 @@ def minhash_lsh_pairs(
             kind, payload = _action
             if kind == "abort":
                 raise RuntimeError(payload)
+            _remember_pre_raise_partitions(
+                _spark, int(_spark.conf.get("spark.sql.shuffle.partitions"))
+            )
             _spark.conf.set("spark.sql.shuffle.partitions", str(payload))
             _LOG.warning(
                 "minhash_lsh_pairs: raising spark.sql.shuffle.partitions "
@@ -1577,6 +1749,10 @@ def minhash_lsh_pairs(
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
         )
+    # Construction done: any async collapse count launched above has had
+    # the audit/count job to overlap with — block here so the caller's
+    # first action plans against fully-measured caches.
+    _settle_async_counts()
     if members is None:
         return verified
     # jaccard(S, S) = n/n, exactly 1.0 in IEEE — same value the
@@ -1651,11 +1827,19 @@ def connected_components(
     # localCheckpoint (not persist): materializes AND truncates lineage —
     # the pair-source plan (e.g. the whole LSH pipeline) must not be
     # re-referenced by every iteration's growing tree (see docstring).
+    # LAZY local checkpoint (VERDICT r12 #1 — one fewer sequential job):
+    # round 1's eager ck_labels materialization consumes every edge
+    # partition through its groupBy, so the edge checkpoint completes
+    # inside THAT job instead of paying its own scheduling round trip and
+    # an extra read of the freshly-written blocks. Lineage truncation is
+    # unchanged — the Dataset is LogicalRDD-rooted either way — and any
+    # partition the first job somehow skipped is back-filled by Spark's
+    # checkpoint finalization, so iterations 2+ always read blocks.
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # Round 1 folds the identity initialization: label(u) = u, so the
     # neighbor-min is just min(v) per u straight off the edge frame and the
@@ -1792,6 +1976,9 @@ def canonical_keep_list(
     comp = connected_components(
         pairs, reps.select(F.col(id_col)), id_col=id_col, stats=stats
     )
+    # the pair-source audit + CC rounds were the overlap window for the
+    # collapse's async member count — settle before the final member join
+    _settle_async_counts()
     return (
         comp.join(members, comp[id_col] == members["rep"])
         .groupBy("cluster_id")
@@ -1937,6 +2124,9 @@ def simhash_near_pairs(
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     banded.count()
     _COLLAPSE_CACHES.append(banded)
+    # the banded count above is the overlap window for the collapse's
+    # async member count (small-source regime) — settle before returning
+    _settle_async_counts()
     x, y = banded.alias("x"), banded.alias("y")
     verified = (
         x.join(

@@ -2129,11 +2129,27 @@ def ext_approx_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_count_distinct at rsd=0.01 (the 100 TB path: fixed-size sketch,
     map-side combinable, no distinct shuffle), asserting the sketch lands
     within 5%. HLL register-merge is order-insensitive, so the boolean is
-    deterministic and the oracle pins it TRUE."""
+    deterministic and the oracle pins it TRUE.
+
+    Formulation (r13, guide §2.3 — shuffle fewer bytes): the obvious
+    single groupBy mixing countDistinct with the HLL triggers Spark's
+    distinct-aggregate rewrite, which plants the partial rsd=0.01 HLL
+    buffer (~1,640 longs ≈ 13 KB) on EVERY (event_type, user_id) partial
+    row — the exchange carried ~1 GB of sketch state for a 2 MB input
+    (plans/r13/ext_approx_cardinality_before.txt operator (2): Results
+    [1642]). The explicit two-level aggregate below is value-identical —
+    n_events = sum of per-user counts, n_users = exact count of the
+    pre-grouped (type, user) rows, and an HLL fed each distinct user once
+    has byte-identical registers (sketch inserts are idempotent) — while
+    the exchange carries one narrow row per (type, user) and the sketch
+    buffer exists only at the few-rows event_type level."""
     t = load_tables(spark, sf_dir, names=("events",))
-    g = t["events"].groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.countDistinct("user_id").alias("n_users"),
+    per_user = t["events"].groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    g = per_user.groupBy("event_type").agg(
+        F.sum("c").alias("n_events"),
+        F.count(F.lit(1)).alias("n_users"),
         F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx"),
     )
     return g.select(

@@ -321,6 +321,16 @@ def run_file_ingest(
     stops — the deterministic-test trigger; swap for
     ``processingTime`` in a long-running deployment.
     """
+    # Streaming must not inherit a batch pipeline's raised shuffle floor
+    # (ADVICE r12 medium): no AQE coalescing in streaming, so a leaked
+    # 2048-partition conf turns every stateful stage into 2048 tasks and
+    # can overflow spark.driver.maxResultSize. No-op unless a floor was
+    # raised earlier in this session.
+    from kafka_etl_automation_spark.operators.dedup import (
+        restore_shuffle_partitions,
+    )
+
+    restore_shuffle_partitions(spark)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))

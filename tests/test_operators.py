@@ -1661,12 +1661,17 @@ def test_lsh_cap_stats_are_loud(spark):
     assert st_sim["dropped_buckets"] > 0 and st_sim["dropped_emissions"] > 0
 
 
-def test_lsh_cap_warns_in_shipping_path(spark, caplog):
-    """VERDICT r10 #3: the cap audit must be loud WITHOUT a stats probe —
-    the boarded queries and canonical pipelines run with stats=None, and a
-    production caller needs a signal the moment max_bucket discards
-    buckets. The WARN rides the eager cache-materialization job, so it
-    fires at operator-build time, and stays silent on uncapped corpora."""
+def test_lsh_cap_warns_in_shipping_path(spark, caplog, monkeypatch):
+    """VERDICT r10 #3 as amended by VERDICT r12 #1: the cap audit is loud
+    WITHOUT a stats probe whenever the FULL audit runs — which, for an
+    explicit int cap with stats=None, is exactly when the worst-case kept
+    volume (banded_rows * (cap-1) / 2) exceeds the flood ceiling, i.e. on
+    every corpus where a cap has ever measurably bitten (the 900x/2700x
+    octaves). Below that bound the histogram job is skipped outright (the
+    r13 fast path — the cap-bite WARN is traded for one less aggregation
+    per operator build; 'auto' and stats= callers always get the full
+    audit). Pins both directions by shrinking the ceiling so the same tiny
+    corpus exercises the full-audit path."""
     import logging
 
     from kafka_etl_automation_spark.operators import dedup
@@ -1678,6 +1683,8 @@ def test_lsh_cap_warns_in_shipping_path(spark, caplog):
     kw = dict(n=3, num_hashes=64, bands=16, threshold=0.2, collapse_exact=False)
 
     logger = "kafka_etl_automation_spark.operators.dedup"
+    # full-audit regime (worst-case bound above the skip bound): loud cap
+    monkeypatch.setattr(dedup, "_AUDIT_SKIP_MAX_WORST", 10)
     with caplog.at_level(logging.WARNING, logger=logger):
         dedup.minhash_lsh_pairs(df, max_bucket=2, **kw)  # no action needed
     hits = [r for r in caplog.records if "max_bucket=2 dropped" in r.getMessage()]
@@ -1687,6 +1694,20 @@ def test_lsh_cap_warns_in_shipping_path(spark, caplog):
     with caplog.at_level(logging.WARNING, logger=logger):
         dedup.minhash_lsh_pairs(df, max_bucket=1000, **kw)
     assert not [r for r in caplog.records if "dropped" in r.getMessage()]
+
+    # fast path (bound under the real skip bound): histogram skipped,
+    # silent — and the emitted pairs are identical to the audited run's
+    monkeypatch.setattr(dedup, "_AUDIT_SKIP_MAX_WORST", 800_000_000)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger=logger):
+        fast = dedup.minhash_lsh_pairs(df, max_bucket=2, **kw)
+    assert not [r for r in caplog.records if "dropped" in r.getMessage()]
+    st: dict = {}
+    audited = dedup.minhash_lsh_pairs(df, max_bucket=2, stats=st, **kw)
+    assert st["dropped_buckets"] > 0  # the cap really bites on this corpus
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, audited.collect())
+    )
 
 
 def test_auto_max_bucket_resolution(spark, caplog):
@@ -1907,6 +1928,66 @@ def test_scale_partition_floor(spark, monkeypatch):
         assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", restore)
+        # drop the first-raise snapshot this test's synthetic raise left,
+        # so a later streaming test's restore doesn't rewind to "4"
+        dedup._PRE_RAISE_PARTITIONS.pop(spark.sparkContext.applicationId, None)
+
+
+def test_streaming_restores_pre_floor_partitions(spark, tmp_path, monkeypatch):
+    """VERDICT r12 #4 / ADVICE r12 medium: a streaming query started AFTER
+    a batch pipeline raised the scale-adaptive shuffle floor must see the
+    pre-pipeline partition setting — streaming gets no AQE coalescing, and
+    an inherited 2048-partition conf turns every state-store stage into
+    2048 tasks (the r12 maxResultSize incident). The lifecycle stream
+    builders pin their own scoped value; run_file_ingest (the remaining
+    unpinned entry) restores the first-raise snapshot before starting."""
+    from kafka_etl_automation_spark.operators import dedup
+    from kafka_etl_automation_spark.streaming import ingest
+
+    restore = spark.conf.get("spark.sql.shuffle.partitions")
+    app = spark.sparkContext.applicationId
+    dedup._PRE_RAISE_PARTITIONS.pop(app, None)
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        # simulate a floored batch pipeline: a real file-backed frame plus
+        # the stat seam the floor test uses, so the raise takes the exact
+        # production path (snapshot + conf set)
+        docs = spark.range(10).selectExpr("id AS doc_id", "'x y z' AS text")
+        src_dir = str(tmp_path / "floor_src")
+        docs.write.parquet(src_dir)
+        file_backed = spark.read.parquet(src_dir)
+        import os as _os
+
+        real_getsize = _os.path.getsize
+        monkeypatch.setattr(
+            dedup.os.path, "getsize", lambda p: real_getsize(p) + 2 * 2**30
+        )
+        assert dedup.scale_partition_floor(file_backed) is not None
+        monkeypatch.setattr(dedup.os.path, "getsize", real_getsize)
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) > 7
+
+        events = spark.range(4).selectExpr("id AS event_id", "id AS v")
+        stream_src = str(tmp_path / "stream_src")
+        events.coalesce(1).write.parquet(stream_src)
+        ingest.run_file_ingest(
+            spark,
+            source_dir=stream_src,
+            schema=events.schema,
+            bronze_base=str(tmp_path / "bronze"),
+            audit_path=str(tmp_path / "audit"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            topic="t",
+            run_id=1,
+            max_files_per_trigger=1,
+        )
+        # the stream started (and the session continues) at the
+        # pre-pipeline setting, not the floored one
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        # idempotent: nothing recorded anymore
+        assert dedup.restore_shuffle_partitions(spark) is None
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", restore)
+        dedup._PRE_RAISE_PARTITIONS.pop(app, None)
 
 
 def test_ngram_overlap_bloom_generic_id_type(spark):

@@ -38,8 +38,11 @@ def main() -> int:
     # the bench line itself. Accept both.
     old = json.load(open(args[0]))
     new = json.load(open(args[1]))
-    old = old.get("parsed", old)
-    new = new.get("parsed", new)
+    # `or old` (ADVICE r12): a failed driver bench carries "parsed": null —
+    # fall back to the envelope so it hits the calib_sec-missing message
+    # below instead of an AttributeError here.
+    old = old.get("parsed") or old
+    new = new.get("parsed") or new
     c_old, c_new = old.get("calib_sec"), new.get("calib_sec")
     if not c_old or not c_new:
         print(

@@ -6,8 +6,13 @@ Exchange counts, join strategies) are checked against these committed
 dumps. "before" dumps come from a git worktree at the previous round's
 snapshot commit; "after" dumps from HEAD.
 
-Usage: python tools/dump_plans.py OUT_DIR SUFFIX [sf_dir] NAME [NAME...]
+Usage: python tools/dump_plans.py OUT_DIR SUFFIX [--sf-dir PATH] NAME [NAME...]
   writes OUT_DIR/<name>_<SUFFIX>.txt per query.
+
+The sf_dir is an explicit flag (ADVICE r12): the old positional
+``isdir(args[0])`` heuristic silently consumed a query name that happened
+to match a directory (e.g. 'plans' run from the repo root) and could then
+exit 0 having written nothing.
 """
 
 from __future__ import annotations
@@ -27,8 +32,15 @@ def main() -> int:
         return 2
     out_dir = args.pop(0)
     suffix = args.pop(0)
-    sf_dir = args.pop(0) if os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    sf_dir = "/root/testdata/sf0.01"
+    if "--sf-dir" in args:
+        i = args.index("--sf-dir")
+        args.pop(i)
+        sf_dir = args.pop(i)
     names = args
+    if not names:
+        print("no query names given", file=sys.stderr)
+        return 2
 
     import __spark_entry__ as entry_mod
 
