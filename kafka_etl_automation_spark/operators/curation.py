@@ -497,9 +497,16 @@ def decontaminate_canonical_lsh(
     # — the dedicated count here was a full extra signature pass at every
     # scale. Planning inside that audit job sees the identical
     # unmaterialized-reps state the old sig.count() planned against.
+    # The split label rides the signature aggregation itself (r13,
+    # signature_sets carry=): hash_split is a pure function of the text,
+    # so it is per-document constant and first()-reducible — the previous
+    # formulation joined the signed frame against a (id, label)
+    # projection of reps, one full extra id-keyed shuffle of the signed
+    # frame at any scale (guide §2.4: two operations keyed the same way
+    # should share one pass).
     sig = _cache_persisted(
-        dedup.signature_sets(reps, text_col, id_col, n, num_hashes).join(
-            reps.select(F.col(id_col).alias("id"), split.alias("_lbl")), "id"
+        dedup.signature_sets(
+            reps, text_col, id_col, n, num_hashes, carry={"_lbl": split}
         ),
         eager=False,
     )

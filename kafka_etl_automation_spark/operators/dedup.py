@@ -282,7 +282,11 @@ def ngram_jaccard_pairs(
 
 
 def _shingle_hash_rows(
-    df: DataFrame, text_col: str, id_col: str, n: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    carry: dict[str, Column] | None = None,
 ) -> DataFrame:
     """(id, sh): one row per n-gram occurrence, sh = xxhash64 over the n
     token columns — bit-identical to shingle_hashes() elements (verified
@@ -321,19 +325,24 @@ def _shingle_hash_rows(
     shingle_hashes' empty-array semantics.
     """
     toks = tokens(text_col)
+    extra = [c.alias(name) for name, c in (carry or {}).items()]
+    extra_names = list((carry or {}).keys())
     base = (
         _fanout_rebalance(df)
         .select(
             F.col(id_col).alias("id"),
+            *extra,
             toks.alias("tk"),
             (F.size(toks) - (n - 1)).alias("m"),
         )
         .filter(F.col("m") >= 1)
     )
     return base.select(
-        "id", "tk", F.explode(F.sequence(F.lit(1), F.col("m"))).alias("p")
+        "id", *extra_names, "tk",
+        F.explode(F.sequence(F.lit(1), F.col("m"))).alias("p"),
     ).select(
         "id",
+        *extra_names,
         F.xxhash64(
             *[F.element_at("tk", (F.col("p") + k).cast("int")) for k in range(n)]
         ).alias("sh"),
@@ -376,6 +385,7 @@ def signature_sets(
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 64,
+    carry: dict[str, Column] | None = None,
 ) -> DataFrame:
     """The per-document frame minhash_lsh_pairs builds internally: one row
     per doc with BOTH the exact-verification shingle-hash set (``sh``,
@@ -389,14 +399,26 @@ def signature_sets(
     cross-split pass (kept ∪ eval rows) are both filters over one shared
     signed frame instead of two full shingle+hash builds over overlapping
     corpora (VERDICT r07 #2). Documents with fewer than n tokens yield no
-    row, same as the inline build."""
-    rows = _shingle_hash_rows(df, text_col, id_col, n)
+    row, same as the inline build.
+
+    ``carry`` (r13): extra per-document columns — each a Column over
+    ``df``'s row that is CONSTANT per document (e.g. a content-keyed
+    split label) — carried through the gram explode and reduced with
+    ``first()`` in the same per-doc aggregation. first() is
+    deterministic here ONLY because the value is per-group constant
+    (the F.first("_nl") invariant); the alternative was a corpus-wide
+    id-keyed JOIN of the signed frame against a label projection — one
+    full extra shuffle of the signed frame at any scale (guide §2.4).
+    The carried column rides the zero-exchange explode and the map-side
+    partial combine, so it never crosses a shuffle at gram volume."""
+    rows = _shingle_hash_rows(df, text_col, id_col, n, carry=carry)
     return rows.groupBy("id").agg(
         F.collect_set("sh").alias("sh"),
         *[
             F.min(F.xxhash64(F.lit(j), F.col("sh"))).alias(f"mh{j}")
             for j in range(num_hashes)
         ],
+        *[F.first(name).alias(name) for name in (carry or {})],
     )
 
 
@@ -1767,6 +1789,33 @@ def minhash_lsh_pairs(
     )
 
 
+def _observed_changed(obs, ck: DataFrame) -> int:
+    """Convergence signal for one CC round, read from the checkpoint
+    job's own observed metric — the observation rides the eager
+    localCheckpoint's materialization job, so the old per-round
+    ``filter(_changed).limit(1).count()`` action disappears entirely
+    (r13; one fewer scheduled job per round, verified to fire on
+    localCheckpoint in Spark 4.1). ``Observation.get`` blocks on listener
+    delivery, which is asynchronous — guard with a bounded wait and fall
+    back to the old count over the materialized leaf if the metric never
+    arrives (engine drift), so the worst case is the pre-r13 behavior,
+    never a hang. Returns nonzero iff any label changed."""
+    import queue
+
+    q: queue.Queue = queue.Queue()
+    t = threading.Thread(target=lambda: q.put(obs.get), daemon=True)
+    t.start()
+    try:
+        v = q.get(timeout=30)["chg"]
+        return int(v) if v is not None else 0  # max over zero rows -> null
+    except queue.Empty:
+        _LOG.warning(
+            "connected_components: observed convergence metric not "
+            "delivered in 30s — falling back to the limit(1) count"
+        )
+        return ck.filter("_changed").limit(1).count()
+
+
 def _free_local_checkpoint(df: DataFrame) -> None:
     """Release the storage blocks behind a ``localCheckpoint(eager=True)``
     frame. Unlike a persisted frame, a checkpointed one is NOT recomputable
@@ -1807,8 +1856,10 @@ def connected_components(
     6 and 25+ rounds on the chain-shaped graphs star-scope LSH candidates
     produce (same trick as GraphFrames' large-star/small-star and
     Hash-to-Min). The driver-side loop is inherent to iterative
-    algorithms; each iteration's convergence check is one limit(1) count
-    on the changed set.
+    algorithms; each iteration's convergence check is an OBSERVED metric
+    (max of the _changed flags) computed inside that round's checkpoint
+    materialization job itself — zero extra scheduled jobs per round
+    (r13; previously one limit(1) count per round).
 
     LINEAGE TRUNCATION is load-bearing, not hygiene: every iteration
     references the previous ``labels`` plan 2-3 times, so without
@@ -1849,6 +1900,9 @@ def connected_components(
     first_nmin = edges.groupBy(F.col("u").alias("nu")).agg(
         F.min("v").alias("nmin")
     )
+    from pyspark.sql import Observation
+
+    obs1 = Observation()
     ck_labels = (
         ids.select(F.col(id_col).alias("u"))
         .join(first_nmin, F.col("u") == F.col("nu"), "left")
@@ -1859,11 +1913,12 @@ def connected_components(
             ),
         )
         .select("u", "label", (F.col("label") != F.col("u")).alias("_changed"))
+        .observe(obs1, F.max(F.col("_changed").cast("int")).alias("chg"))
         .localCheckpoint(eager=True)
     )
     labels = ck_labels.select("u", "label")
 
-    converged = ck_labels.filter("_changed").limit(1).count() == 0
+    converged = _observed_changed(obs1, ck_labels) == 0
     iters = 1
     try:
         for _ in range(max_iter - 1):
@@ -1892,11 +1947,13 @@ def connected_components(
                 F.col("u").alias("l1"), F.col("label").alias("l2")
             )
             # The convergence flag rides the checkpointed frame itself
-            # (label != previous label), so the per-iteration check is a
-            # limit(1) scan of the freshly materialized leaf — the r07
-            # shape re-joined new vs old labels on u, one full extra
-            # shuffle join per iteration that profiling showed was ~40%
-            # of CC's wall (VERDICT r07 #5).
+            # (label != previous label) AND is read via an observed metric
+            # computed inside the checkpoint's own materialization job
+            # (r13) — the r07 shape re-joined new vs old labels on u (one
+            # full extra shuffle join per iteration, ~40% of CC's wall,
+            # VERDICT r07 #5); the r12 shape still paid one limit(1)
+            # count job per round over the materialized leaf.
+            obs_i = Observation()
             new_ck = (
                 stepped.join(jump, "l1", "left")
                 .select(
@@ -1911,9 +1968,10 @@ def connected_components(
                     "label",
                     (F.col("label") != F.col("_old")).alias("_changed"),
                 )
+                .observe(obs_i, F.max(F.col("_changed").cast("int")).alias("chg"))
                 .localCheckpoint(eager=True)  # plan becomes a LogicalRDD leaf
             )
-            changed = new_ck.filter("_changed").limit(1).count()
+            changed = _observed_changed(obs_i, new_ck)
             # new_ck is eagerly materialized and the changed count is
             # done — the superseded labels frame is provably dead; free its
             # checkpoint blocks now instead of leaking O(iterations) frames
