@@ -300,6 +300,53 @@ def parse_kafka_records(raw: DataFrame, value_schema) -> DataFrame:
     ).select("v.*")
 
 
+_OBS_WAIT_SECONDS = 30
+
+
+def _is_local_path(path: str) -> bool:
+    """True for plain/`file:` paths — where removing a just-written dir is
+    a cheap local fs op, enabling the one-job-per-batch observed-stats
+    shape in run_file_ingest."""
+    from urllib.parse import urlparse
+
+    return urlparse(path).scheme in ("file", "")
+
+
+def _observation_or_none(obs) -> dict | None:
+    """``Observation.get`` for a just-finished batch action, bounded:
+    metric delivery rides the (asynchronous) QueryExecutionListener, so a
+    bounded guard keeps engine drift from ever hanging the ingest loop —
+    the caller falls back to a dedicated stats job, i.e. the pre-r13
+    shape. Same pattern as dedup._observed_changed."""
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue()
+    threading.Thread(target=lambda: q.put(obs.get), daemon=True).start()
+    try:
+        return q.get(timeout=_OBS_WAIT_SECONDS)
+    except queue.Empty:
+        return None
+
+
+def _remove_empty_batch_dir(batch_dir: str, stop_at: str) -> None:
+    """Remove the rowless bronze dir a zero-record batch wrote (T4: an
+    empty batch must leave no bronze file), pruning parents it emptied —
+    up to but NOT including ``stop_at`` (bronze_base may legitimately
+    remain as an empty dir)."""
+    import shutil
+
+    shutil.rmtree(batch_dir, ignore_errors=True)
+    cur = os.path.dirname(batch_dir)
+    stop = os.path.abspath(stop_at)
+    while os.path.abspath(cur) != stop:
+        try:
+            os.rmdir(cur)  # fails (and stops the walk) unless empty
+        except OSError:
+            break
+        cur = os.path.dirname(cur)
+
+
 def run_file_ingest(
     spark: SparkSession,
     source_dir: str,
@@ -340,24 +387,67 @@ def run_file_ingest(
 
     state = {"batches": 0, "records": 0, "dirs": []}
 
+    # One JOB per micro-batch instead of two (r13, guide §5 — fewer
+    # driver-scheduled actions): the offset stats ride the bronze write as
+    # an OBSERVED metric instead of a dedicated aggregation job ahead of
+    # it. Observation values are exact (computed by the write job itself
+    # over every row). The write therefore happens before emptiness is
+    # known, so the (rare) zero-record batch writes a rowless dir and
+    # immediately removes it — the FINAL bronze state is identical to the
+    # stats-first shape, which is what T4 specifies (no bronze file for an
+    # empty batch; Kafka_ArrivalToConform.sh:286-318). Local bronze paths
+    # only: removal must be a cheap atomic-enough fs op; non-local bronze
+    # (object stores) keeps the two-job stats-first shape.
+    local_bronze = _is_local_path(bronze_base)
+
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.time()
-        # One pass for the offset stats; empty-batch detection falls out of
-        # n_records (no separate isEmpty scan).
-        stats = batch_df.agg(
-            F.min(offset_col).cast("long").alias("lo"),
-            F.max(offset_col).cast("long").alias("hi"),
-            F.count(F.lit(1)).alias("n"),
-        ).first()
-        n = int(stats["n"])
+        lo = hi = None
+        n = -1
+        batch_dir = None
+        if local_bronze:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            target = run_dir(bronze_base, topic, partition, run_id)
+            batch_dir = os.path.join(target, f"batch_id={batch_id}")
+            (
+                batch_df.observe(
+                    obs,
+                    F.min(F.col(offset_col).cast("long")).alias("lo"),
+                    F.max(F.col(offset_col).cast("long")).alias("hi"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .write.mode("overwrite")
+                .format(fmt)
+                .save(batch_dir)
+            )
+            vals = _observation_or_none(obs)
+            if vals is not None:
+                n = int(vals["n"])
+                lo, hi = vals["lo"], vals["hi"]
+        if n < 0:
+            # non-local bronze, or the observed metric never arrived
+            # (engine drift): the pre-r13 dedicated stats job. The write
+            # above (if any) stays valid — the stats are over the same
+            # immutable micro-batch.
+            stats = batch_df.agg(
+                F.min(offset_col).cast("long").alias("lo"),
+                F.max(offset_col).cast("long").alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+            ).first()
+            n, lo, hi = int(stats["n"]), stats["lo"], stats["hi"]
         if n == 0:
             # T4: no file, status 0, empty name
             # (Kafka_ArrivalToConform.sh:286-318).
+            if batch_dir is not None:
+                _remove_empty_batch_dir(batch_dir, bronze_base)
             file_name, status = "", 0
         else:
-            target = run_dir(bronze_base, topic, partition, run_id)
-            batch_dir = os.path.join(target, f"batch_id={batch_id}")
-            batch_df.write.mode("overwrite").format(fmt).save(batch_dir)
+            if batch_dir is None:
+                target = run_dir(bronze_base, topic, partition, run_id)
+                batch_dir = os.path.join(target, f"batch_id={batch_id}")
+                batch_df.write.mode("overwrite").format(fmt).save(batch_dir)
             state["dirs"].append(batch_dir)
             file_name, status = batch_dir, 1
         state["batches"] += 1
@@ -368,8 +458,8 @@ def run_file_ingest(
                 "topic": topic,
                 "partition": partition,
                 "batch_id": int(batch_id),
-                "from_offset": None if n == 0 else int(stats["lo"]),
-                "until_offset": None if n == 0 else int(stats["hi"]),
+                "from_offset": None if n == 0 else int(lo),
+                "until_offset": None if n == 0 else int(hi),
                 "n_records": n,
                 "file_name": file_name,
                 "file_processing_status": status,

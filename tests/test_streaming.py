@@ -511,3 +511,43 @@ def test_progress_listener_reconciles_with_foreachbatch_audit(spark, tmp_root):
         assert ordered == list(range(ordered[0], ordered[0] + len(ordered))), logoff
     finally:
         lst.detach(spark)
+
+
+def test_remove_empty_batch_dir_prunes_parents(tmp_root):
+    """r13 one-job-per-batch fold: a zero-record batch writes a rowless
+    bronze dir (stats ride the write as an observed metric) and removes
+    it again — pruning must clear the parents it created but never walk
+    past bronze_base."""
+    bronze = os.path.join(tmp_root, "bronze")
+    batch_dir = os.path.join(bronze, "t", "p0", "run=1", "batch_id=4")
+    os.makedirs(batch_dir)
+    # sibling batch keeps its parent chain alive
+    keep = os.path.join(bronze, "t", "p0", "run=2", "batch_id=0")
+    os.makedirs(keep)
+    ingest._remove_empty_batch_dir(batch_dir, bronze)
+    assert not os.path.exists(os.path.join(bronze, "t", "p0", "run=1"))
+    assert os.path.exists(keep)  # stopped at the shared non-empty parent
+    # all-empty run: everything under bronze goes, bronze itself stays
+    solo = os.path.join(bronze, "t", "p0", "run=1", "batch_id=0")
+    os.makedirs(solo)
+    os.rmdir(keep)
+    os.removedirs(os.path.dirname(keep))  # clear the run=2 chain first
+    os.makedirs(bronze, exist_ok=True)
+    ingest._remove_empty_batch_dir(solo, bronze)
+    assert os.path.exists(bronze) and os.listdir(bronze) == []
+
+
+def test_observation_or_none_bounds_the_wait(monkeypatch):
+    """Engine-drift guard: an observation whose metric never arrives must
+    return None (caller falls back to the dedicated stats job), not hang."""
+    class _NeverDelivers:
+        @property
+        def get(self):
+            import time as _t
+
+            _t.sleep(3600)
+
+    monkeypatch.setattr(
+        "kafka_etl_automation_spark.streaming.ingest._OBS_WAIT_SECONDS", 1
+    )
+    assert ingest._observation_or_none(_NeverDelivers()) is None
