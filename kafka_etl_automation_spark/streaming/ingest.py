@@ -414,8 +414,11 @@ def run_file_ingest(
             (
                 batch_df.observe(
                     obs,
-                    F.min(F.col(offset_col).cast("long")).alias("lo"),
-                    F.max(F.col(offset_col).cast("long")).alias("hi"),
+                    # aggregate-then-cast, matching the fallback/stats-job
+                    # expressions exactly (min of a string offset col then
+                    # cast differs from casting first)
+                    F.min(offset_col).cast("long").alias("lo"),
+                    F.max(offset_col).cast("long").alias("hi"),
                     F.count(F.lit(1)).alias("n"),
                 )
                 .write.mode("overwrite")
